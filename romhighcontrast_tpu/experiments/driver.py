@@ -1,0 +1,221 @@
+"""The paper experiment pipeline (reference: experiment(),
+HighContrast.py:118-215).
+
+Stages (each checkpointed, idempotent re-entry):
+  1. contrast grid + corner set -> batched FOM snapshot solve (one tensor
+     program on the device mesh; the reference maps scipy solves per point),
+  2. measurement sampling + evaluation-operator matmul,
+  3. per-builder reduced-basis construction,
+  4. per-dimension n: the five online problems, relative H10 errors and
+     wall-clock timings per problem type.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, NamedTuple, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from romhighcontrast_tpu.config import results_path
+from romhighcontrast_tpu.experiments.grids import get_a2test_and_train
+from romhighcontrast_tpu.experiments.persistence import ExperimentStore
+from romhighcontrast_tpu.rom.builders import (
+    GreedyBuilder,
+    RandomBuilder,
+    GREEDY_FOR_GALERKIN,
+    GREEDY_FOR_H10,
+)
+
+
+class TypeOfProblems(NamedTuple):
+    """The five online problems (reference: HighContrast.py:28-29)."""
+
+    forward_modeling: object
+    projection: object
+    state_estimation: object
+    parameter_estimation_inverse: object
+    parameter_estimation_linear: object
+
+
+def default_builders():
+    """The paper's four builders (reference: HighContrast.py:37-42)."""
+    return [
+        RandomBuilder(),
+        RandomBuilder(False),
+        GreedyBuilder(greedy_for=GREEDY_FOR_H10),
+        GreedyBuilder(greedy_for=GREEDY_FOR_GALERKIN),
+    ]
+
+
+def _timed(fn, *args, **kwargs):
+    t0 = time.time()
+    out = fn(*args, **kwargs)
+    jnp_out = out[0] if isinstance(out, tuple) else out
+    try:
+        jnp_out.block_until_ready()
+    except AttributeError:
+        pass
+    return time.time() - t0, out
+
+
+@dataclass
+class ExperimentResult:
+    space: object
+    store: ExperimentStore
+    a: np.ndarray
+    a_high_contrast: np.ndarray
+    builders: Sequence = field(default_factory=list)
+
+
+def experiment(
+    name: str,
+    reduced_basis_builders=None,
+    mesh_discretization_per_dim: int = 6,
+    diff_coef_refinement: int = 30,
+    vn_max_dim: int = 20,
+    num_measurements: int = 50,
+    blocks_geometry=(4, 4),
+    high_contrast_blocks=(((1, 1), (1, 2), (2, 1), (2, 2)),),
+    vn_max_dim2do_stats: int | None = None,
+    recalculate: bool = False,
+    max_num_samples_offline: int = 10_000,
+    seed: int = 42,
+    recalculate_basis: bool = False,
+    method: str = "pcg",
+    verbose: bool = True,
+    results_dir=None,
+) -> ExperimentResult:
+    """Run the full offline+online pipeline for one experiment configuration.
+
+    Mirrors the reference's ``experiment()`` signature and staging
+    (HighContrast.py:118-215); ``method`` accepts the reference aliases
+    ("lsq" -> dense Cholesky, "lsqsparse" -> stencil PCG).
+    """
+    reduced_basis_builders = (
+        default_builders() if reduced_basis_builders is None else reduced_basis_builders
+    )
+    vn_max_dim2do_stats = (
+        vn_max_dim if vn_max_dim2do_stats is None else vn_max_dim2do_stats
+    )
+    base = results_path if results_dir is None else results_dir
+    store = ExperimentStore(base / f"HighContrast_{name}")
+    if verbose:
+        print(f"========== experiment {name} -> {store.folder} ==========")
+
+    space, a, a_high_contrast = get_a2test_and_train(
+        blocks_geometry,
+        high_contrast_blocks,
+        mesh_discretization_per_dim,
+        diff_coef_refinement,
+        max_num_samples_offline,
+        seed,
+        method,
+    )
+    if verbose:
+        print(f"Solutions to calculate: {len(a_high_contrast)} (dim {space.vspace_dim})")
+
+    # ---------------- stage 1: snapshots ---------------- #
+    if recalculate or "solutions" not in store:
+        t, sols = _timed(space.solve, jnp.asarray(a))
+        store["time2calculate_solutions"] = t
+        store["solutions"] = np.asarray(sols)
+        t, h1 = _timed(space.h10_norm, sols)
+        store["time2calculate_h1norm"] = t
+        store["solutions_H1norm"] = np.asarray(h1)
+        store.save()
+        if verbose:
+            print(f"{len(a)} snapshots in {store['time2calculate_solutions']:.3f}s "
+                  f"({len(a)/store['time2calculate_solutions']:.1f}/s)")
+    solutions = jnp.asarray(store["solutions"])
+    h1norms = jnp.asarray(store["solutions_H1norm"])
+
+    # ---------------- stage 2: measurements ---------------- #
+    # reference samples uniform [0,1]^2 regardless of the domain
+    # (HighContrast.py:155) — preserved.
+    np.random.seed(seed)
+    measurement_points = np.random.uniform(size=(num_measurements, 2))
+    measurements = space.evaluate_solutions(measurement_points, solutions)
+
+    # ---------------- stage 3: reduced bases ---------------- #
+    bases = {}
+    for builder in reduced_basis_builders:
+        key = builder.name
+        entry = store.setdefault(key, {})
+        have = entry.get("basis")
+        if have is None or have.shape[0] < vn_max_dim or recalculate_basis:
+            if verbose:
+                print(f"Building reduced basis: {key}")
+            t, rb = _timed(
+                builder.build,
+                n=vn_max_dim,
+                sm=space,
+                solutions2train=solutions,
+                a2train=jnp.asarray(a),
+                solutions2train_h1norm=h1norms,
+            )
+            entry["time2build"] = t
+            entry["basis"] = np.asarray(rb.basis)
+            entry["basis_a"] = np.asarray(rb.a)
+            store.save()
+            bases[key] = rb
+        else:
+            from romhighcontrast_tpu.rom.basis import ReducedBasis
+
+            bases[key] = ReducedBasis(name=key).set(
+                basis=jnp.asarray(entry["basis"]), a=jnp.asarray(entry["basis_a"])
+            )
+
+    # ---------------- stage 4: errors & timings ---------------- #
+    for n in range(1, vn_max_dim + 1):
+        for key, full_rb in bases.items():
+            entry = store[key]
+            errors = entry.setdefault("errors", {})
+            times = entry.setdefault("times", {})
+            nkey = str(n)
+            if n > vn_max_dim2do_stats or (not recalculate and nkey in errors):
+                continue
+            if verbose:
+                print(f"dim(Vn)={n} [{key}]")
+            rb = full_rb[:n]
+
+            se_t, (c, se_sol) = _timed(
+                rb.state_estimation, space, measurement_points, measurements,
+                return_coefs=True,
+            )
+            inv_t, inv_params = _timed(rb.parameter_estimation_inverse, c)
+            lin_t, lin_params = _timed(rb.parameter_estimation_linear, c)
+
+            rb.orthonormalize()
+            fm_t, fm_sol = _timed(rb.forward_modeling, space, jnp.asarray(a))
+            pj_t, pj_sol = _timed(rb.projection, space, solutions)
+
+            errors[nkey] = TypeOfProblems(
+                forward_modeling=np.asarray(space.h10_norm(fm_sol - solutions) / h1norms),
+                projection=np.asarray(space.h10_norm(pj_sol - solutions) / h1norms),
+                state_estimation=np.asarray(space.h10_norm(se_sol - solutions) / h1norms),
+                parameter_estimation_inverse=np.asarray(
+                    jnp.abs(1 - inv_params / jnp.asarray(a))
+                ),
+                parameter_estimation_linear=np.asarray(
+                    jnp.abs(1 - lin_params / jnp.asarray(a))
+                ),
+            )._asdict()
+            times[nkey] = TypeOfProblems(
+                forward_modeling=fm_t,
+                projection=pj_t,
+                state_estimation=se_t,
+                parameter_estimation_inverse=inv_t,
+                parameter_estimation_linear=lin_t,
+            )._asdict()
+            store.save()
+
+    return ExperimentResult(
+        space=space,
+        store=store,
+        a=a,
+        a_high_contrast=a_high_contrast,
+        builders=list(bases.values()),
+    )

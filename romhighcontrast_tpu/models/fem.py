@@ -1,0 +1,281 @@
+"""P1 finite-element FOM space on a blocked uniform grid.
+
+TPU-native rebuild of the reference's ``SolutionsManagerFEM``
+(src/lib/SolutionsManagers.py:145-244) and the operator algebra of its base
+class ``SolutionsManager`` (src/lib/SolutionsManagers.py:43-142):
+
+* mesh: uniform right-triangle mesh (SW->NE split) over ``(nrb, ncb)`` blocks
+  of ``N x N`` cells on ``[-ncb/2, ncb/2] x [-nrb/2, nrb/2]``;
+  ``dim = (nrb*N - 1)(ncb*N - 1)`` interior vertices, flattened row-major
+  (rows = y) exactly like the reference so coefficient vectors interoperate.
+* operator: the 5-point stencil form (``ops.stencil``) — no dense
+  ``(nrb, ncb, dim, dim)`` tensor is ever required (the reference's
+  ``A_preassembled`` costs ~5 GB at the paper config; the stencil is O(dim)).
+* solves: whole parameter batches as single tensor programs
+  (``ops.solvers``), shardable over the device mesh (``parallel``).
+"""
+
+from __future__ import annotations
+
+from functools import cached_property, partial
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from romhighcontrast_tpu.config import default_dtype
+from romhighcontrast_tpu.ops import assembly, evaluation, solvers
+from romhighcontrast_tpu.ops import stencil as st
+
+
+class FemSpace:
+    """The P1 FEM full-order space and its batched operator algebra.
+
+    All batched APIs take coefficient fields ``a`` of shape
+    ``(batch..., nrb, ncb)`` and solution coefficient arrays of shape
+    ``(batch..., dim)``.
+    """
+
+    def __init__(self, blocks_geometry: tuple[int, int], N: int, method: str = "pcg"):
+        self.blocks_geometry = tuple(blocks_geometry)
+        nrb, ncb = self.blocks_geometry
+        self.N = int(N)
+        self.method = method
+        self.x_domain = (-ncb / 2.0, ncb / 2.0)
+        self.y_domain = (-nrb / 2.0, nrb / 2.0)
+        self.nc_inner_vertices = ncb * N - 1
+        self.nr_inner_vertices = nrb * N - 1
+        self.grid_shape = (self.nr_inner_vertices, self.nc_inner_vertices)
+        self.vspace_dim = self.nr_inner_vertices * self.nc_inner_vertices
+        self.nc_cells = ncb * N + 1  # number of vertices along x (ref naming)
+        self.nr_cells = nrb * N + 1
+        self.points_c = np.linspace(*self.x_domain, self.nc_cells)
+        self.points_r = np.linspace(*self.y_domain, self.nr_cells)
+        self.dtype = default_dtype()
+        #: load vector for f = 1 (dim,)
+        self.load = assembly.load_vector(nrb, ncb, N, dtype=self.dtype)
+
+    # ------------------------------------------------------------------ #
+    # operator construction
+    # ------------------------------------------------------------------ #
+    def weights(self, a: jnp.ndarray) -> st.StencilCoefficients:
+        """Stencil weights of ``K(a)`` for block coefficients ``(..., nrb, ncb)``."""
+        return st.stencil_weights(st.cell_grid(jnp.asarray(a, self.dtype), self.N))
+
+    def apply(self, a: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """``K(a) x`` for flattened vectors ``(..., dim)`` (broadcasting batch)."""
+        return st.apply_operator_flat(self.weights(a), jnp.asarray(x, self.dtype),
+                                      self.grid_shape)
+
+    @cached_property
+    def _ones_weights(self) -> st.StencilCoefficients:
+        return self.weights(jnp.ones(self.blocks_geometry, self.dtype))
+
+    def apply_laplacian(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``K(1) x`` — the H10 inner-product operator."""
+        return st.apply_operator_flat(self._ones_weights, jnp.asarray(x, self.dtype),
+                                      self.grid_shape)
+
+    def dense_operator(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Dense ``K(a)`` of shape ``(..., dim, dim)`` (small dims / parity)."""
+        return assembly.dense_operator(self.weights(a))
+
+    def dense_family(self) -> jnp.ndarray:
+        """Dense affine family ``(nrb*ncb, dim, dim)``; reference
+        ``A_preassembled`` (SolutionsManagers.py:217-218) reshaped to one
+        block axis."""
+        nrb, ncb = self.blocks_geometry
+        return assembly.dense_affine_family(nrb, ncb, self.N, dtype=self.dtype)
+
+    def block_indicators(self, blocks: Sequence[tuple[int, int]] | None = None
+                         ) -> jnp.ndarray:
+        """Coarse basis for the two-level preconditioner: indicator vectors of
+        the strict interior vertices of each block, shape ``(k, nri, nci)``.
+
+        These span the near-kernel of the Jacobi-scaled operator as the
+        block coefficients go to infinity (the "limit solutions" directions).
+        """
+        nrb, ncb = self.blocks_geometry
+        if blocks is None:
+            blocks = [(i, j) for i in range(nrb) for j in range(ncb)]
+        nri, nci = self.grid_shape
+        out = np.zeros((len(blocks), nri, nci))
+        for k, (bi, bj) in enumerate(blocks):
+            # full-grid vertex rows strictly inside the block: bi*N+1 .. (bi+1)*N-1
+            r0, r1 = bi * self.N + 1, (bi + 1) * self.N - 1
+            c0, c1 = bj * self.N + 1, (bj + 1) * self.N - 1
+            # interior-grid offset: -1
+            out[k, r0 - 1 : r1, c0 - 1 : c1] = 1.0
+        return jnp.asarray(out, self.dtype)
+
+    # ------------------------------------------------------------------ #
+    # FOM solves (snapshot generation)
+    # ------------------------------------------------------------------ #
+    def solve(
+        self,
+        a: jnp.ndarray,
+        rhs: jnp.ndarray | None = None,
+        method: str | None = None,
+        tol: float = 1e-11,
+        maxiter: int = 5_000,
+        use_coarse: bool = False,
+        chunk_size: int | None = None,
+    ) -> jnp.ndarray:
+        """Batched FOM solve ``K(a) u = rhs`` (default rhs: the f=1 load).
+
+        Replaces the reference's per-parameter (process-)mapped ``galerkin``
+        solve (SolutionsManagers.py:17-40,64-68).  ``method``:
+
+        * ``"pcg"`` (default) — stencil PCG, the TPU performance path.
+          Accepts the reference aliases ``"lsqsparse"``.
+        * ``"cholesky"`` — batched dense Cholesky (alias ``"lsq"``).
+        """
+        method = (method or self.method).lower()
+        a = jnp.asarray(a, self.dtype)
+        squeeze = a.ndim == 2
+        if squeeze:
+            a = a[None]
+        batch = a.shape[:-2]
+        rhs_flat = self.load if rhs is None else jnp.asarray(rhs, self.dtype)
+
+        if method in ("pcg", "lsqsparse", "cg"):
+            w = self.weights(a)
+            rhs_grid = jnp.broadcast_to(
+                rhs_flat.reshape((1,) * len(batch) + self.grid_shape),
+                batch + self.grid_shape,
+            )
+            coarse = self.block_indicators() if use_coarse and self.N >= 2 else None
+            x, info = solvers.solve_pcg(
+                w, rhs_grid, tol=tol, maxiter=maxiter,
+                coarse_basis=coarse, use_coarse=coarse is not None,
+            )
+            out = x.reshape(batch + (self.vspace_dim,))
+        elif method in ("cholesky", "lsq"):
+            a2 = a.reshape((-1,) + a.shape[-2:])
+            n = a2.shape[0]
+            if chunk_size is None:
+                # keep dense K chunks under ~2 GB
+                per = self.vspace_dim * self.vspace_dim * jnp.dtype(self.dtype).itemsize
+                chunk_size = max(1, min(n, int(2e9 // max(per, 1))))
+            outs = []
+            for i in range(0, n, chunk_size):
+                Ka = assembly.dense_operator(self.weights(a2[i : i + chunk_size]))
+                outs.append(solvers.solve_cholesky(Ka, rhs_flat))
+            out = jnp.concatenate(outs, axis=0).reshape(batch + (self.vspace_dim,))
+        else:
+            raise ValueError(f"Unknown solve method {method!r}")
+        return out[0] if squeeze else out
+
+    def generate_solutions(self, a2try: jnp.ndarray, **kw) -> jnp.ndarray:
+        """Reference-named alias of :meth:`solve` (SolutionsManagers.py:64-68)."""
+        return self.solve(a2try, **kw)
+
+    # ------------------------------------------------------------------ #
+    # norms
+    # ------------------------------------------------------------------ #
+    def h10_norm(self, solutions: jnp.ndarray) -> jnp.ndarray:
+        """H10 seminorm ``sqrt(u^T K(1) u)`` (reference: H10norm,
+        SolutionsManagers.py:56-58)."""
+        u = jnp.asarray(solutions, self.dtype)
+        return jnp.sqrt(jnp.maximum(jnp.sum(u * self.apply_laplacian(u), axis=-1), 0.0))
+
+    @staticmethod
+    def l2_norm(solutions: jnp.ndarray) -> jnp.ndarray:
+        """Coefficient l2 norm (reference: l2norm, SolutionsManagers.py:60-62)."""
+        u = jnp.asarray(solutions)
+        return jnp.sqrt(jnp.sum(u * u, axis=-1))
+
+    # reference-style aliases
+    H10norm = h10_norm
+    l2norm = l2_norm
+
+    # ------------------------------------------------------------------ #
+    # point evaluation / measurements
+    # ------------------------------------------------------------------ #
+    def evaluation_matrix(self, points: jnp.ndarray) -> jnp.ndarray:
+        """``E (m, dim)`` with ``evaluate(points, u) = u @ E.T``."""
+        return evaluation.evaluation_matrix(points, self.points_c, self.points_r,
+                                            dtype=self.dtype)
+
+    def evaluate_solutions(self, points: jnp.ndarray, solutions: jnp.ndarray
+                           ) -> jnp.ndarray:
+        """Evaluate solutions at points; returns ``(n_solutions, m)``
+        (reference: SolutionsManagers.py:221-244, rebuilt as one matmul)."""
+        E = self.evaluation_matrix(points)
+        return jnp.asarray(solutions, self.dtype) @ E.T
+
+    def generate_riesz(self, x: jnp.ndarray, norm: str = "h10") -> jnp.ndarray:
+        """Riesz representers of point evaluations, shape ``(m, dim)``.
+
+        Only the l2 (coefficient) inner product is well-posed — point
+        evaluations are not H^-1 functionals for P1, mirroring the
+        reference's explicit refusal (SolutionsManagers.py:78-84).
+        """
+        if norm == "l2":
+            return self.evaluation_matrix(jnp.asarray(x))
+        raise NotImplementedError(
+            "Point evaluations are not bounded H10 functionals; a mollified "
+            "observation kernel would be required (reference raises too: "
+            "SolutionsManagers.py:79)."
+        )
+
+    # ------------------------------------------------------------------ #
+    # reduced-operator algebra (online problems)
+    # ------------------------------------------------------------------ #
+    def reduced_family(self, V: jnp.ndarray) -> jnp.ndarray:
+        """``F[q] = V K_q V^T`` of shape ``(Q, n, n)`` via stencil applies of
+        the block indicator coefficients — never a dense K_q
+        (reference computes this from the dense preassembled tensor:
+        SolutionsManagers.py:93-101)."""
+        nrb, ncb = self.blocks_geometry
+        V = jnp.asarray(V, self.dtype)
+        eye = jnp.eye(nrb * ncb, dtype=self.dtype).reshape(nrb * ncb, nrb, ncb)
+        wq = self.weights(eye)  # (Q, nr, nc) weights
+        Vg = V.reshape((-1,) + self.grid_shape)  # (n, nri, nci)
+        KqV = st.apply_operator(
+            st.StencilCoefficients(*(x[:, None, :, :] for x in wq)), Vg
+        )  # (Q, n, nri, nci)
+        return jnp.einsum("ki,qli->qkl", V, KqV.reshape(KqV.shape[:2] + (-1,)))
+
+    def reduced_rhs(self, V: jnp.ndarray) -> jnp.ndarray:
+        """``B_k = V b`` (reference: SolutionsManagers.py:103)."""
+        return jnp.asarray(V, self.dtype) @ self.load
+
+    def forward_reduced(self, a: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
+        """Online reduced Galerkin solve lifted to FOM coefficients
+        (reference: generate_fm_solutions, SolutionsManagers.py:88-106).
+
+        a: ``(b, nrb, ncb)``; V: ``(n, dim)``.  Returns ``(b, dim)``.
+        """
+        a = jnp.asarray(a, self.dtype)
+        if a.ndim == 2:
+            a = a[None]
+        V = jnp.asarray(V, self.dtype)
+        if V.shape[0] == 0:
+            return jnp.zeros((a.shape[0], self.vspace_dim), self.dtype)
+        F = self.reduced_family(V)  # (Q, n, n)
+        A = jnp.einsum("bq,qkl->bkl", a.reshape(a.shape[0], -1), F)
+        c = solvers.solve_small_spd(A, self.reduced_rhs(V))
+        return c @ V
+
+    def project(self, solutions: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
+        """H10-orthogonal projection onto span(V), lifted
+        (reference: project_solutions, SolutionsManagers.py:108-139 — its
+        per-block einsums telescope to ``K(1)``)."""
+        u = jnp.atleast_2d(jnp.asarray(solutions, self.dtype))
+        V = jnp.asarray(V, self.dtype)
+        if V.shape[0] == 0:
+            return jnp.zeros((u.shape[0], self.vspace_dim), self.dtype)
+        KV = self.apply_laplacian(V)  # (n, dim)
+        G = V @ KV.T  # (n, n) H10 Gram
+        B = u @ KV.T  # (b, n)
+        c = solvers.solve_spd_shared(G, B)
+        return c @ V
+
+    # reference-style aliases
+    generate_fm_solutions = forward_reduced
+    project_solutions = project
+
+    def __str__(self) -> str:  # parity with reference __str__ naming
+        return self.__class__.__name__

@@ -1,0 +1,162 @@
+"""Batched SPD solvers for the FOM and reduced systems.
+
+The reference solves one system per parameter point through LAPACK
+``linalg.solve(assume_a='pos')`` or SuperLU ``spsolve`` inside a (process-)map
+(reference: SolutionsManagers.py:17-40,64-68).  Here the whole parameter batch
+is one tensor program:
+
+* ``solve_pcg`` — the TPU performance path.  Preconditioned conjugate
+  gradients on the 5-point stencil; the matvec is a fused elementwise program
+  batched over all parameter points at once.  Preconditioner: Jacobi
+  (diagonal) — for *stiff* inclusions (a >= 1 everywhere, contrast up), the
+  Jacobi-scaled spectrum is bounded independently of the contrast — optionally
+  augmented with an additive coarse correction over the high-contrast block
+  indicator space (two-level method) to kill the handful of contrast-induced
+  low modes.
+
+* ``solve_cholesky`` — batched dense Cholesky (``jnp.linalg.cholesky`` +
+  triangular solves).  Bitwise-robust parity path for small/medium dims.
+
+* ``solve_small_spd`` — batched dense solve for the n x n reduced (online)
+  systems, n ~ O(10).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from romhighcontrast_tpu.ops import stencil as st
+
+
+class PCGInfo(NamedTuple):
+    iterations: jnp.ndarray  # scalar int, total iterations run
+    relative_residual: jnp.ndarray  # (batch,) final ||b - K x|| / ||b||
+
+
+def _coarse_setup(w: st.StencilCoefficients, W: jnp.ndarray):
+    """Precompute the coarse Gram ``G = W K(a) W^T`` per batch element.
+
+    W: (k, nr, nc) coarse basis on the interior grid (e.g. high-contrast block
+    indicators).  Returns Cholesky factors of G, shape (..., k, k).
+    """
+    # KW[..., k, nr, nc]: apply operator to each coarse vector under each sample
+    KW = st.apply_operator(
+        st.StencilCoefficients(*(x[..., None, :, :] for x in w)), W
+    )
+    G = jnp.einsum("kij,...lij->...kl", W, KW)
+    return jnp.linalg.cholesky(G)
+
+
+def _coarse_apply(W: jnp.ndarray, Gchol: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Additive coarse correction ``W^T G^{-1} W r`` (batched)."""
+    Wr = jnp.einsum("kij,...ij->...k", W, r)
+    y = jax.scipy.linalg.cho_solve((Gchol, True), Wr[..., None])[..., 0]
+    return jnp.einsum("...k,kij->...ij", y, W)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter", "use_coarse"))
+def solve_pcg(
+    w: st.StencilCoefficients,
+    rhs: jnp.ndarray,
+    tol: float = 1e-13,
+    maxiter: int = 10_000,
+    coarse_basis: jnp.ndarray | None = None,
+    use_coarse: bool = False,
+    x0: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, PCGInfo]:
+    """Solve ``K(a) x = rhs`` for a batch of coefficient fields.
+
+    Args:
+      w: stencil weights with shape ``(batch..., nr, nc)``.
+      rhs: ``(nr, nc)`` or ``(batch..., nr, nc)`` right-hand side(s) on the
+        interior grid.
+      tol: relative residual target (in the preconditioned norm a final true
+        residual is also reported in ``info``).
+      coarse_basis: optional ``(k, nr, nc)`` coarse space for the two-level
+        preconditioner (pass ``use_coarse=True`` to enable).
+
+    Returns: ``(x, info)`` with ``x`` of shape ``(batch..., nr, nc)``.
+    """
+    diag = w.diag
+    b = jnp.broadcast_to(rhs, diag.shape)
+    if use_coarse:
+        assert coarse_basis is not None
+        Gchol = _coarse_setup(w, coarse_basis)
+
+    def precond(r):
+        z = r / diag
+        if use_coarse:
+            z = z + _coarse_apply(coarse_basis, Gchol, r)
+        return z
+
+    bnorm2 = jnp.sum(b * b, axis=(-2, -1))
+    bnorm2 = jnp.where(bnorm2 == 0, 1.0, bnorm2)
+    tol2 = (tol * tol) * bnorm2
+
+    x = jnp.zeros_like(b) if x0 is None else jnp.broadcast_to(x0, diag.shape)
+    r = b - (st.apply_operator(w, x) if x0 is not None else 0.0 * b)
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z, axis=(-2, -1))
+    rr = jnp.sum(r * r, axis=(-2, -1))
+
+    def cond(state):
+        _, r, _, _, rr, it = state[0], state[1], state[2], state[3], state[4], state[5]
+        return jnp.logical_and(jnp.any(rr > tol2), it < maxiter)
+
+    def body(state):
+        x, r, p, rz, rr, it = state
+        active = (rr > tol2)[..., None, None]
+        Kp = st.apply_operator(w, p)
+        pKp = jnp.sum(p * Kp, axis=(-2, -1))
+        # guarded divisions: frozen/roundoff-floor systems yield exact zeros
+        # instead of 0/0 or overflow-driven NaNs
+        alpha = jnp.where(pKp > 0, rz / jnp.where(pKp > 0, pKp, 1.0), 0.0)
+        alpha_ = alpha[..., None, None]
+        x = jnp.where(active, x + alpha_ * p, x)
+        r = jnp.where(active, r - alpha_ * Kp, r)
+        z = precond(r)
+        rz_new = jnp.sum(r * z, axis=(-2, -1))
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = jnp.where(active, z + beta[..., None, None] * p, p)
+        rr = jnp.sum(r * r, axis=(-2, -1))
+        rr = jnp.where(jnp.isfinite(rr), rr, 0.0)  # freeze diverged-by-roundoff
+        return x, r, p, rz_new, rr, it + 1
+
+    x, r, p, rz, rr, it = lax.while_loop(cond, body, (x, r, p, rz, rr, jnp.int32(0)))
+    info = PCGInfo(iterations=it, relative_residual=jnp.sqrt(rr / bnorm2))
+    return x, info
+
+
+@jax.jit
+def solve_cholesky(K: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Batched dense SPD solve ``K x = rhs``.
+
+    K: ``(..., dim, dim)``; rhs: ``(dim,)`` or ``(..., dim)``.
+    """
+    L = jnp.linalg.cholesky(K)
+    rhs = jnp.broadcast_to(rhs, K.shape[:-1])
+    return jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+
+
+@jax.jit
+def solve_small_spd(K: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Batched solve for small reduced systems; same contract as
+    ``solve_cholesky`` but kept separate so the reduced path can switch to a
+    different factorisation without touching the FOM path."""
+    L = jnp.linalg.cholesky(K)
+    rhs = jnp.broadcast_to(rhs, K.shape[:-1])
+    return jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+
+
+@jax.jit
+def solve_spd_shared(K: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve one SPD system ``K (n, n)`` against many right-hand sides
+    ``B (b, n)``; returns ``(b, n)``."""
+    L = jnp.linalg.cholesky(K)
+    return jax.scipy.linalg.cho_solve((L, True), B.T).T
