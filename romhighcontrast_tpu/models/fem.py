@@ -29,6 +29,49 @@ from romhighcontrast_tpu.ops import assembly, evaluation, solvers
 from romhighcontrast_tpu.ops import stencil as st
 
 
+@partial(jax.jit, static_argnames=("grid_shape",))
+def _reduced_family_padded(wq, V_pad, grid_shape):
+    """F[q] = V K_q V^T for a zero-padded basis; one compiled program for all
+    active sizes (inactive rows produce zero blocks)."""
+    Vg = V_pad.reshape((-1,) + grid_shape)
+    KqV = st.apply_operator(
+        st.StencilCoefficients(*(x[:, None, :, :] for x in wq)), Vg
+    )
+    return jnp.einsum("ki,qli->qkl", V_pad, KqV.reshape(KqV.shape[:2] + (-1,)))
+
+
+@partial(jax.jit, static_argnames=("grid_shape",))
+def _forward_reduced_padded(wq, V_pad, load, a_flat, mask, grid_shape):
+    """Reduced Galerkin solve with a fixed-width padded basis.
+
+    mask (n_max,): 1.0 for active rows.  Inactive rows/cols of the reduced
+    operator are replaced by the identity and their rhs by zero, so their
+    coefficients are exactly zero — shape-stable across greedy iterations
+    (no retracing as the basis grows).
+    """
+    F = _reduced_family_padded(wq, V_pad, grid_shape)
+    A = jnp.einsum("bq,qkl->bkl", a_flat, F)
+    act = mask[:, None] * mask[None, :]
+    eye = jnp.eye(mask.shape[0], dtype=V_pad.dtype)
+    A = A * act + eye * (1.0 - act)
+    B = (V_pad @ load) * mask
+    c = solvers.solve_small_spd(A, B)
+    return (c * mask) @ V_pad
+
+
+@partial(jax.jit, static_argnames=("grid_shape",))
+def _project_padded(w1, V_pad, u, mask, grid_shape):
+    """H10 projection with a fixed-width padded basis (same masking trick)."""
+    KV = st.apply_operator_flat(w1, V_pad, grid_shape)
+    G = V_pad @ KV.T
+    act = mask[:, None] * mask[None, :]
+    eye = jnp.eye(mask.shape[0], dtype=V_pad.dtype)
+    G = G * act + eye * (1.0 - act)
+    B = (u @ KV.T) * mask
+    c = solvers.solve_spd_shared(G, B)
+    return (c * mask) @ V_pad
+
+
 class FemSpace:
     """The P1 FEM full-order space and its batched operator algebra.
 
@@ -276,6 +319,29 @@ class FemSpace:
     # reference-style aliases
     generate_fm_solutions = forward_reduced
     project_solutions = project
+
+    # shape-stable padded variants (used by the greedy loop so the basis can
+    # grow without retracing; see _forward_reduced_padded)
+    @cached_property
+    def _eye_weights(self) -> st.StencilCoefficients:
+        nrb, ncb = self.blocks_geometry
+        eye = jnp.eye(nrb * ncb, dtype=self.dtype).reshape(nrb * ncb, nrb, ncb)
+        return self.weights(eye)
+
+    def forward_reduced_padded(self, a, V_pad, mask):
+        a = jnp.asarray(a, self.dtype)
+        return _forward_reduced_padded(
+            self._eye_weights, jnp.asarray(V_pad, self.dtype), self.load,
+            a.reshape(a.shape[0], -1), jnp.asarray(mask, self.dtype),
+            self.grid_shape,
+        )
+
+    def project_padded(self, u, V_pad, mask):
+        return _project_padded(
+            self._ones_weights, jnp.asarray(V_pad, self.dtype),
+            jnp.asarray(u, self.dtype), jnp.asarray(mask, self.dtype),
+            self.grid_shape,
+        )
 
     def __str__(self) -> str:  # parity with reference __str__ naming
         return self.__class__.__name__

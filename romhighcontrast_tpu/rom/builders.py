@@ -35,6 +35,17 @@ GREEDY_FOR_GALERKIN = "galerkin"
 logger = logging.getLogger(__name__)
 
 
+def orthonormalize_padded(snaps: jnp.ndarray, n: int) -> jnp.ndarray:
+    """QR-orthonormalise k snapshot rows into a fixed-width (n, dim) padded
+    basis (rows >= k are zero).  The QR input shape is (dim, n) regardless of
+    k, so the compiled program is reused across greedy iterations."""
+    k, dim = snaps.shape
+    Vt = jnp.zeros((dim, n), snaps.dtype).at[:, :k].set(snaps.T)
+    q, _ = jnp.linalg.qr(Vt)
+    act = (jnp.arange(n) < k).astype(snaps.dtype)
+    return q.T * act[:, None]
+
+
 def get_inf_solutions_starting_basis(solutions2train, a2train, only_one_block=True):
     """Split the training set into infinite-contrast snapshots (seed basis)
     and the rest (reference: ReducedBasis.py:142-150)."""
@@ -148,12 +159,14 @@ class GreedyBuilder(ReducedBasis):
               progress: bool = False, **kwargs):
         solutions2train = jnp.asarray(solutions2train)
         a2train = jnp.asarray(a2train)
-        high_contrast_a = get_high_contrast_coefficient(a2train)
+        high_contrast_a = np.asarray(get_high_contrast_coefficient(a2train))
 
         dim = solutions2train.shape[1]
-        basis = jnp.empty((0, dim), solutions2train.dtype)
-        basis_orth = basis
-        a_selected = jnp.empty((0,), high_contrast_a.dtype)
+        padded = hasattr(sm, "forward_reduced_padded")
+        # fixed-width padded basis: one compiled reduced-solve program for
+        # every greedy iteration (the basis "grows" via the mask only)
+        V_pad = jnp.zeros((n, dim), solutions2train.dtype)
+        mask = np.zeros(n)
         selected_ix: list[int] = []
 
         iterator = range(n)
@@ -165,24 +178,34 @@ class GreedyBuilder(ReducedBasis):
             except ImportError:
                 pass
 
-        for _ in iterator:
-            if self.greedy_for == GREEDY_FOR_H10:
-                approx = sm.project(solutions2train, basis_orth)
+        for k in iterator:
+            if padded:
+                if self.greedy_for == GREEDY_FOR_H10:
+                    approx = sm.project_padded(solutions2train, V_pad, mask)
+                else:
+                    approx = sm.forward_reduced_padded(a2train, V_pad, mask)
             else:
-                approx = sm.forward_reduced(a2train, basis_orth)
+                V_act = V_pad[:k]
+                if self.greedy_for == GREEDY_FOR_H10:
+                    approx = sm.project(solutions2train, V_act)
+                else:
+                    approx = sm.forward_reduced(a2train, V_act)
             rel_err = sm.h10_norm(approx - solutions2train) / solutions2train_h1norm
             ix = int(jnp.argmax(rel_err))
             selected_ix.append(ix)
-            basis = jnp.concatenate(
-                (basis, solutions2train[ix].reshape(1, -1)), axis=0
-            )
-            # a_selected stays paired with the basis rows (selection order);
-            # the reference overwrites it with the sorted copy each iteration
-            # (ReducedBasis.py:135-136), silently mis-pairing contrast values
-            # with rows — span-preserving, so only the orthonormalisation
-            # order differed.  We keep the pairing consistent.
-            a_selected = jnp.append(a_selected, high_contrast_a[ix])
-            _, basis_orth = sort_orthogonalize_base(a_selected, basis)
+            # contrast-sorted orthonormalisation for stability (reference:
+            # ReducedBasis.py:134-136; see sort_orthogonalize_base for the
+            # documented pairing deviation).  The active rows are kept sorted
+            # by descending contrast so QR processes stiff snapshots first;
+            # padded zero rows stay last and never affect the active part.
+            order = np.argsort(1.0 / high_contrast_a[selected_ix])
+            snaps = solutions2train[jnp.asarray(np.asarray(selected_ix)[order])]
+            q = orthonormalize_padded(snaps, n)
+            V_pad = q
+            mask[: k + 1] = 1.0
 
-        self.set(basis=basis, a=a2train[jnp.asarray(selected_ix)])
+        self.set(
+            basis=solutions2train[jnp.asarray(selected_ix)],
+            a=a2train[jnp.asarray(selected_ix)],
+        )
         return self
