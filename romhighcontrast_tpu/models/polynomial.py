@@ -100,8 +100,12 @@ class PolynomialSpace:
             "ij,kl->ikjl", mass, stiff
         )
         Aq = Aq.reshape(self.quarter_dim, self.quarter_dim)
+        # high-degree poly1d arithmetic leaves O(eps * |coef|) asymmetry in
+        # the integrals; the exact operator is symmetric — enforce it
+        Aq = 0.5 * (Aq + Aq.T)
         # affine family over the 4 quarters (2D stiffness is scale-invariant)
         fam = np.einsum("sqi,qp,spj->sij", self._P, Aq, self._P)
+        fam = 0.5 * (fam + fam.transpose(0, 2, 1))
         self.A_family = jnp.asarray(fam, self.dtype)
 
         # load vector for f = 1 with the quarter Jacobian 1/4
