@@ -66,7 +66,7 @@ def get_a2test_and_train(
     diff_coef_refinement,
     max_num_samples_offline,
     seed,
-    method: str = "pcg",
+    method: str = "mixed",
 ):
     """Build the FOM space and the train/test coefficient sets
     (reference: get_a2test_and_train, HighContrast.py:99-115).

@@ -80,7 +80,7 @@ class FemSpace:
     ``(batch..., dim)``.
     """
 
-    def __init__(self, blocks_geometry: tuple[int, int], N: int, method: str = "pcg"):
+    def __init__(self, blocks_geometry: tuple[int, int], N: int, method: str = "mixed"):
         self.blocks_geometry = tuple(blocks_geometry)
         nrb, ncb = self.blocks_geometry
         self.N = int(N)
@@ -182,17 +182,23 @@ class FemSpace:
         batch = a.shape[:-2]
         rhs_flat = self.load if rhs is None else jnp.asarray(rhs, self.dtype)
 
-        if method in ("pcg", "lsqsparse", "cg"):
+        if method in ("pcg", "lsqsparse", "cg", "pcg_mixed", "mixed", "pallas"):
             w = self.weights(a)
             rhs_grid = jnp.broadcast_to(
                 rhs_flat.reshape((1,) * len(batch) + self.grid_shape),
                 batch + self.grid_shape,
             )
-            coarse = self.block_indicators() if use_coarse and self.N >= 2 else None
-            x, info = solvers.solve_pcg(
-                w, rhs_grid, tol=tol, maxiter=maxiter,
-                coarse_basis=coarse, use_coarse=coarse is not None,
-            )
+            if method in ("pcg_mixed", "mixed", "pallas"):
+                inner = "pallas" if method == "pallas" else "xla"
+                x, info = solvers.solve_pcg_mixed(w, rhs_grid, tol=tol, inner=inner)
+            else:
+                coarse = (
+                    self.block_indicators() if use_coarse and self.N >= 2 else None
+                )
+                x, info = solvers.solve_pcg(
+                    w, rhs_grid, tol=tol, maxiter=maxiter,
+                    coarse_basis=coarse, use_coarse=coarse is not None,
+                )
             out = x.reshape(batch + (self.vspace_dim,))
         elif method in ("cholesky", "lsq"):
             a2 = a.reshape((-1,) + a.shape[-2:])

@@ -133,6 +133,129 @@ def solve_pcg(
     return x, info
 
 
+def _cg_unit_diag(wt, b, tol, maxiter):
+    """Plain CG on the Jacobi-symmetrized system (unit diagonal, so no
+    preconditioner needed).  Same masked-batch structure as solve_pcg.
+    dtype follows the inputs (float32 on the mixed-precision path)."""
+    bnorm2 = jnp.sum(b * b, axis=(-2, -1))
+    safe_b = jnp.where(bnorm2 == 0, 1.0, bnorm2)
+    tol2 = jnp.asarray(tol * tol, b.dtype) * safe_b
+
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    rz = bnorm2
+    rr = bnorm2
+
+    def cond(state):
+        rr, it = state[4], state[5]
+        return jnp.logical_and(jnp.any(rr > tol2), it < maxiter)
+
+    def body(state):
+        x, r, p, rz, rr, it = state
+        active = (rr > tol2)[..., None, None]
+        Kp = st.apply_operator(wt, p)
+        pKp = jnp.sum(p * Kp, axis=(-2, -1))
+        alpha = jnp.where(pKp > 0, rz / jnp.where(pKp > 0, pKp, 1.0), 0.0)
+        alpha_ = alpha[..., None, None]
+        x = jnp.where(active, x + alpha_ * p, x)
+        r = jnp.where(active, r - alpha_ * Kp, r)
+        rz_new = jnp.sum(r * r, axis=(-2, -1))
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = jnp.where(active, r + beta[..., None, None] * p, p)
+        rr = jnp.where(jnp.isfinite(rz_new), rz_new, 0.0)
+        return x, r, p, rz_new, rr, it + 1
+
+    x, r, p, rz, rr, it = lax.while_loop(
+        cond, body, (x, r, p, rz, rr, jnp.int32(0))
+    )
+    return x, it
+
+
+@partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter_inner",
+                                   "max_rounds", "inner_dtype", "inner"))
+def solve_pcg_mixed(
+    w: st.StencilCoefficients,
+    rhs: jnp.ndarray,
+    tol: float = 1e-11,
+    inner_tol: float = 1e-3,
+    maxiter_inner: int = 500,
+    max_rounds: int = 8,
+    inner_dtype=jnp.float32,
+    inner: str = "xla",
+) -> tuple[jnp.ndarray, PCGInfo]:
+    """Mixed-precision solve: float32 CG on the Jacobi-symmetrized system
+    inside float64 iterative refinement.
+
+    Why it is exact enough: ``K~ = D^{-1/2} K D^{-1/2}`` has unit diagonal
+    and O(1) entries for any contrast, so its f32 matvec is accurate to
+    ~1e-7 relative and each refinement round gains ``inner_tol`` digits on
+    the *f64 true residual* ``b - K x``.
+
+    Tuning note (measured on TPU v5e): the f32 attainable relative residual
+    is ~eps32 * kappa(K~) ~ 1e-4 at the paper mesh, so the inner tolerance
+    must stay ABOVE that floor — asking for 1e-5 makes the inner CG stagnate
+    and burn maxiter (16x iteration blowup).  3 digits per round x ~4 rounds
+    is the sweet spot; each f32 iteration is ~12x cheaper than emulated-f64.
+    """
+    diag = w.diag
+    b = jnp.broadcast_to(rhs, diag.shape)
+    wt, s = st.symmetrized_weights(w)
+    wt32 = st.StencilCoefficients(*(x.astype(inner_dtype) for x in wt))
+
+    bnorm2 = jnp.sum(b * b, axis=(-2, -1))
+    safe_b = jnp.where(bnorm2 == 0, 1.0, bnorm2)
+    tol2 = (tol * tol) * safe_b
+
+    def true_resid(x):
+        return b - st.apply_operator(w, x)
+
+    def cond(state):
+        _, r, rounds, _ = state
+        rr = jnp.sum(r * r, axis=(-2, -1))
+        return jnp.logical_and(jnp.any(rr > tol2), rounds < max_rounds)
+
+    if inner == "pallas":
+        from romhighcontrast_tpu.ops.pallas_cg import cg_symmetrized_pallas
+
+        interpret = jax.default_backend() == "cpu"
+        batch = diag.shape[:-2]
+        grid_shape = diag.shape[-2:]
+
+        def inner_solve(rt):
+            x3 = cg_symmetrized_pallas(
+                st.StencilCoefficients(
+                    *(v.reshape((-1,) + grid_shape) for v in wt32)
+                ),
+                rt.reshape((-1,) + grid_shape),
+                tol=inner_tol,
+                maxiter=maxiter_inner,
+                interpret=interpret,
+            )
+            # iteration counts stay on-chip in the fused kernel
+            return x3.reshape(batch + grid_shape), jnp.int32(maxiter_inner)
+
+    else:
+
+        def inner_solve(rt):
+            return _cg_unit_diag(wt32, rt, inner_tol, maxiter_inner)
+
+    def body(state):
+        x, r, rounds, iters = state
+        rt = (s * r).astype(inner_dtype)
+        dt, it = inner_solve(rt)
+        x = x + s * dt.astype(b.dtype)
+        r = true_resid(x)
+        return x, r, rounds + 1, iters + it
+
+    x = jnp.zeros_like(b)
+    x, r, rounds, iters = lax.while_loop(
+        cond, body, (x, b, jnp.int32(0), jnp.int32(0))
+    )
+    rr = jnp.sum(r * r, axis=(-2, -1))
+    return x, PCGInfo(iterations=iters, relative_residual=jnp.sqrt(rr / safe_b))
+
+
 @jax.jit
 def solve_cholesky(K: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Batched dense SPD solve ``K x = rhs``.

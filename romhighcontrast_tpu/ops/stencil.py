@@ -102,3 +102,43 @@ def apply_operator_flat(
     """Apply ``K(a)`` to flattened coefficient vector(s) ``(..., dim)``."""
     u = x.reshape(x.shape[:-1] + grid_shape)
     return apply_operator(w, u).reshape(x.shape)
+
+
+def _shift(x: jnp.ndarray, axis: int, by: int) -> jnp.ndarray:
+    """Zero-fill shift along the last two axes (neighbor lookup)."""
+    pad = [(0, 0)] * x.ndim
+    if by == -1:
+        pad[axis] = (0, 1)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(1, None)
+    else:
+        pad[axis] = (1, 0)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, -1)
+    return jnp.pad(x, pad)[tuple(sl)]
+
+
+def symmetrized_weights(w: StencilCoefficients):
+    """Jacobi-symmetrized operator ``K~ = D^{-1/2} K D^{-1/2}`` as stencil
+    weights with *unit diagonal*, plus the scaling ``s = D^{-1/2}``.
+
+    Every entry of ``K~`` is O(1) regardless of the coefficient contrast, so
+    the scaled system is faithfully representable (and its matvec accurately
+    computable) in float32 — the key to the mixed-precision solve path.
+    ``x = s * x~`` and ``r~ = s * r`` convert between the systems.
+    """
+    import jax
+
+    s = jax.lax.rsqrt(w.diag)
+    sE = _shift(s, -1, -1)
+    sW = _shift(s, -1, +1)
+    sS = _shift(s, -2, -1)
+    sN = _shift(s, -2, +1)
+    wt = StencilCoefficients(
+        wE=w.wE * s * sE,
+        wW=w.wW * s * sW,
+        wS=w.wS * s * sS,
+        wN=w.wN * s * sN,
+        diag=jnp.ones_like(w.diag),
+    )
+    return wt, s
