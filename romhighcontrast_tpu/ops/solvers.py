@@ -232,7 +232,7 @@ def solve_pcg_mixed(
                 maxiter=maxiter_inner,
                 interpret=interpret,
             )
-            # iteration counts stay on-chip in the fused kernel
+            # per-sample iteration counts stay on-chip in the fused kernel
             return x3.reshape(batch + grid_shape), jnp.int32(maxiter_inner)
 
     else:

@@ -1,0 +1,73 @@
+"""Native (C++) array store: build, roundtrip, corruption detection,
+persistence-backend integration, and speed sanity."""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+import romhighcontrast_tpu  # noqa: F401
+from romhighcontrast_tpu import native
+from romhighcontrast_tpu.experiments.persistence import ExperimentStore
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def test_roundtrip_dtypes(tmp_path):
+    rng = np.random.default_rng(0)
+    for arr in [
+        rng.standard_normal((137, 211)),
+        rng.standard_normal((5,)).astype(np.float32),
+        np.arange(10, dtype=np.int64),
+        np.float64(3.25).reshape(()),
+        np.zeros((0, 4)),
+    ]:
+        p = tmp_path / "x.rhc"
+        native.save_array(p, arr)
+        out = native.load_array(p)
+        assert out.dtype == arr.dtype and out.shape == arr.shape
+        np.testing.assert_array_equal(out, arr)
+
+
+def test_crc_detects_corruption(tmp_path):
+    arr = np.arange(4096, dtype=np.float64)
+    p = tmp_path / "x.rhc"
+    native.save_array(p, arr, level=0)  # raw so we can flip payload bytes
+    raw = bytearray(p.read_bytes())
+    raw[-5] ^= 0xFF
+    p.write_bytes(bytes(raw))
+    with pytest.raises(IOError, match="crc"):
+        native.load_array(p)
+
+
+def test_store_native_backend_roundtrip(tmp_path):
+    store = ExperimentStore(tmp_path / "exp", backend="native")
+    store["solutions"] = np.arange(12.0).reshape(3, 4)
+    store["nested"] = {"t": 2.5, "err": {"1": np.array([0.125])}}
+    store.save()
+    again = ExperimentStore(tmp_path / "exp", backend="native")
+    np.testing.assert_array_equal(again["solutions"], store["solutions"])
+    assert again["nested"]["t"] == 2.5
+    np.testing.assert_array_equal(again["nested"]["err"]["1"], [0.125])
+    # index.json is the commit point and readable
+    idx = json.loads((tmp_path / "exp" / "index.json").read_text())
+    assert any(k.startswith("solutions") for k in idx)
+
+
+def test_native_faster_than_npz(tmp_path):
+    """The reason this component exists: checkpoint latency on 1-core hosts."""
+    arr = np.random.default_rng(1).standard_normal((2000, 2000))
+    s_npz = ExperimentStore(tmp_path / "npz", backend="npz")
+    s_nat = ExperimentStore(tmp_path / "nat", backend="native")
+    s_npz["solutions"] = arr
+    s_nat["solutions"] = arr
+    t0 = time.time()
+    s_npz.save()
+    t_npz = time.time() - t0
+    t0 = time.time()
+    s_nat.save()
+    t_nat = time.time() - t0
+    assert t_nat < t_npz, (t_nat, t_npz)
