@@ -5,10 +5,15 @@ dim 6241 (mesh 20, (4,4) blocks) in 37.16 s on CPU
 (/root/reference/src/experiments/HighContrast.py:510).
 
 This benchmark solves the same 1000-point contrast grid (corner set + log
-grid, reference semantics) at the same discretisation as ONE batched stencil
-PCG program on the TPU, to the accuracy regime of the reference's own direct
-solves (residual 1e-11; at contrast 1e10 the reference's LU forward error is
-itself O(eps * cond) >> 1e-11).
+grid, reference semantics) at the same discretisation as ONE batched program
+on the TPU: float32 CG on the Jacobi-symmetrized stencil (Pallas fused
+VMEM-resident kernel when available) inside float64 iterative refinement, to
+max relative residual < 1e-9 (the reference's own LU forward error at
+contrast 1e10 is O(eps64 * kappa) ~ 1e-4, far looser).
+
+Timing notes: execution is forced per repetition through a checksum — under
+the axon TPU tunnel, ``block_until_ready`` alone has been observed to return
+before the work is done.
 
 Prints exactly one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -18,19 +23,18 @@ import os
 import sys
 import time
 
-import numpy as np
-
 BASELINE_SOLVES_PER_SEC = 1000 / 37.16  # reference lsqsparse, 1 core
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     from romhighcontrast_tpu.experiments.grids import get_a2test_and_train
+    from romhighcontrast_tpu.ops import stencil as st
 
     mesh_n = int(os.environ.get("ROMHC_BENCH_MESH", 20))
     n_samples = int(os.environ.get("ROMHC_BENCH_SAMPLES", 1000))
+    method = os.environ.get("ROMHC_BENCH_METHOD", "pallas")
 
     space, a, _ = get_a2test_and_train(
         blocks_geometry=(4, 4),
@@ -42,19 +46,19 @@ def main():
     )
     a = jnp.asarray(a[:n_samples])
 
-    def run():
-        sols = space.solve(a, tol=1e-11, maxiter=5000)
-        return sols
+    def run(m):
+        sols = space.solve(a, method=m, tol=1e-11)
+        return sols, float(jnp.sum(sols))  # checksum forces execution
 
-    # compile + warm-up (excluded from the timing, like the reference's
-    # timing comments which exclude scipy import/setup)
-    sols = run()
-    sols.block_until_ready()
+    # compile + warm-up; fall back if the fused kernel cannot compile here
+    try:
+        sols, _ = run(method)
+    except Exception:
+        method = "mixed"
+        sols, _ = run(method)
 
-    # sanity: residual check on the batch
+    # sanity gate: true residual of the warmed solutions
     w = space.weights(a)
-    from romhighcontrast_tpu.ops import stencil as st
-
     r = space.load[None, :] - st.apply_operator_flat(w, sols, space.grid_shape)
     rel = float(
         jnp.max(jnp.linalg.norm(r, axis=-1) / jnp.linalg.norm(space.load))
@@ -73,10 +77,10 @@ def main():
         )
         return 1
 
-    reps = 3
+    reps = 5
     t0 = time.time()
     for _ in range(reps):
-        run().block_until_ready()
+        run(method)
     dt = (time.time() - t0) / reps
 
     solves_per_sec = len(a) / dt
@@ -85,7 +89,10 @@ def main():
             {
                 "metric": "snapshot_solves_per_sec",
                 "value": round(solves_per_sec, 2),
-                "unit": f"solves/s @ dim={space.vspace_dim}, f64, max_rel_residual<1e-9",
+                "unit": (
+                    f"solves/s @ dim={space.vspace_dim}, f64-accurate "
+                    f"(max_rel_residual<1e-9), method={method}"
+                ),
                 "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 2),
             }
         )

@@ -50,7 +50,7 @@ def _neighbor(x, axis, shift):
 
 
 def _cg_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, x_ref,
-               *, tol2: float, maxiter: int):
+               *, tol2: float, maxiter: int, stag_window: int = 1_000_000):
     f32 = jnp.float32
     wE = wE_ref[0]
     wW = wW_ref[0]
@@ -75,12 +75,15 @@ def _cg_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, x_ref,
     # jax_enable_x64, which Mosaic cannot scalarise
     tol2bb = f32(tol2) * jnp.where(bb == 0, one, bb)
 
+    # optional stagnation exit (disabled by default — the CG residual
+    # oscillates and short windows break convergence; see solvers.py)
     def cond(state):
-        rr, it = state[3], state[4]
-        return jnp.logical_and(rr > tol2bb, it < maxiter)
+        rr, it, since = state[3], state[4], state[6]
+        keep = jnp.logical_and(rr > tol2bb, since < stag_window)
+        return jnp.logical_and(keep, it < maxiter)
 
     def body(state):
-        x, r, p, rz, it = state
+        x, r, p, rz, it, best, since = state
         Kp = matvec(p)
         pKp = jnp.sum(p * Kp)
         alpha = jnp.where(pKp > 0, rz / jnp.where(pKp > 0, pKp, one), zero)
@@ -90,12 +93,14 @@ def _cg_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, x_ref,
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, one), zero)
         p = r + beta * p
         rz_new = jnp.where(jnp.isfinite(rz_new), rz_new, zero)
-        return x, r, p, rz_new, it + 1
+        improved = rz_new < f32(0.99) * best
+        best = jnp.minimum(best, rz_new)
+        since = jnp.where(improved, jnp.int32(0), since + 1)
+        return x, r, p, rz_new, it + 1, best, since
 
     x0 = jnp.zeros_like(b)
-    x, r, p, rz, it = jax.lax.while_loop(
-        cond, body, (x0, b, b, bb, jnp.int32(0))
-    )
+    state = (x0, b, b, bb, jnp.int32(0), bb, jnp.int32(0))
+    x = jax.lax.while_loop(cond, body, state)[0]
     x_ref[0] = x
 
 
@@ -103,13 +108,14 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "maxiter", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tol", "maxiter", "interpret", "stag_window"))
 def cg_symmetrized_pallas(
     wt: st.StencilCoefficients,
     b: jnp.ndarray,
     tol: float = 1e-3,
     maxiter: int = 500,
     interpret: bool = False,
+    stag_window: int = 1_000_000,
 ):
     """Solve the symmetrized system for a batch ``(B, nr, nc)`` (f32).
 
@@ -131,7 +137,8 @@ def cg_symmetrized_pallas(
     # scope — measured necessary on TPU v5e with jax 0.9
     with jax.enable_x64(False):
         out_x = pl.pallas_call(
-            functools.partial(_cg_kernel, tol2=tol * tol, maxiter=maxiter),
+            functools.partial(_cg_kernel, tol2=tol * tol, maxiter=maxiter,
+                              stag_window=stag_window),
             grid=(B,),
             in_specs=[spec] * 5,
             out_specs=spec,

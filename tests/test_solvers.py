@@ -1,0 +1,103 @@
+"""Solver-level tests: mixed precision, symmetrization, pallas (interpret)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import romhighcontrast_tpu  # noqa: F401
+from romhighcontrast_tpu import FemSpace, INFINIT_A
+from romhighcontrast_tpu.ops import solvers
+from romhighcontrast_tpu.ops import stencil as st
+
+from oracle import FemOracle
+
+
+@pytest.fixture(scope="module")
+def problem():
+    space = FemSpace((2, 2), 8)
+    oracle = FemOracle((2, 2), 8)
+    rng = np.random.default_rng(0)
+    a = np.stack(
+        [
+            np.array([[INFINIT_A, 1.0], [1.0, INFINIT_A]]),
+            np.exp(rng.uniform(0, np.log(INFINIT_A), (2, 2))),
+            np.ones((2, 2)),
+        ]
+    )
+    refs = np.stack([oracle.solve(ai) for ai in a])
+    return space, a, refs
+
+
+def test_symmetrized_weights_unit_diag_and_symmetry():
+    space = FemSpace((2, 3), 4)
+    a = np.array([[1.0, INFINIT_A, 10.0], [1e5, 1.0, 1.0]])
+    w = space.weights(a)
+    wt, s = st.symmetrized_weights(w)
+    np.testing.assert_allclose(np.asarray(wt.diag), 1.0)
+    # K~ entries are O(1) at any contrast
+    for plane in (wt.wE, wt.wW, wt.wS, wt.wN):
+        assert float(jnp.max(jnp.abs(plane))) <= 0.75
+    # symmetry: wE(i,j) == wW(i,j+1)
+    wE = np.asarray(wt.wE)[:, :-1]
+    wW = np.asarray(wt.wW)[:, 1:]
+    np.testing.assert_allclose(wE, wW, rtol=1e-12)
+    # scaled solution transforms back: K (s*x~) = rhs <=> K~ x~ = s*rhs
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(w.diag.shape)
+    lhs = st.apply_operator(wt, x)
+    rhs = np.asarray(s) * np.asarray(
+        st.apply_operator(w, jnp.asarray(np.asarray(s) * x))
+    )
+    np.testing.assert_allclose(np.asarray(lhs), rhs, rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("inner", ["xla", "pallas"])
+def test_mixed_precision_reaches_f64_accuracy(inner, problem):
+    space, a, refs = problem
+    w = space.weights(a)
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), a.shape[:1] + space.grid_shape
+    )
+    x, info = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner=inner)
+    sols = np.asarray(x).reshape(len(a), -1)
+    for k in range(len(a)):
+        err = np.max(np.abs(sols[k] - refs[k])) / np.max(np.abs(refs[k]))
+        assert err < 1e-9, (inner, k, err)
+    assert float(info.relative_residual.max()) < 1e-10
+
+
+def test_mixed_masks_converged_samples(problem):
+    """Mixing easy and near-singular samples must not degrade the easy ones
+    (converged samples are masked out of later refinement rounds)."""
+    space, a, refs = problem
+    w = space.weights(a)
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), a.shape[:1] + space.grid_shape
+    )
+    x, info = solvers.solve_pcg_mixed(w, rhs, tol=1e-11)
+    res = np.asarray(info.relative_residual)
+    assert (res < 1e-10).all()
+
+
+def test_pallas_interpret_matches_xla(problem):
+    space, a, refs = problem
+    w = space.weights(a)
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), a.shape[:1] + space.grid_shape
+    )
+    xp, _ = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="pallas")
+    xx, _ = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="xla")
+    np.testing.assert_allclose(np.asarray(xp), np.asarray(xx), rtol=1e-7,
+                               atol=1e-12)
+
+
+def test_zero_rhs_batch_is_stable():
+    space = FemSpace((2, 2), 5)
+    a = np.ones((2, 2, 2))
+    w = space.weights(a)
+    rhs = jnp.zeros((2,) + space.grid_shape)
+    x, info = solvers.solve_pcg_mixed(w, rhs)
+    assert np.all(np.asarray(x) == 0)
+    x2, info2 = solvers.solve_pcg(w, rhs, tol=1e-11, maxiter=100)
+    assert np.all(np.isfinite(np.asarray(x2)))
