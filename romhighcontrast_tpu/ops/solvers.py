@@ -229,24 +229,29 @@ def solve_pcg_mixed(
         rr = jnp.sum(r * r, axis=(-2, -1))
         return jnp.logical_and(jnp.any(rr > tol2), rounds < max_rounds)
 
-    if inner == "pallas":
+    if inner in ("pallas", "pallas_ms"):
         from romhighcontrast_tpu.ops.pallas_cg import cg_symmetrized_pallas
+        from romhighcontrast_tpu.ops.pallas_cg_ms import cg_symmetrized_pallas_ms
 
         interpret = jax.default_backend() == "cpu"
         batch = diag.shape[:-2]
         grid_shape = diag.shape[-2:]
 
         def inner_solve(rt):
-            x3 = cg_symmetrized_pallas(
-                st.StencilCoefficients(
-                    *(v.reshape((-1,) + grid_shape) for v in wt32)
-                ),
-                rt.reshape((-1,) + grid_shape),
-                tol=inner_tol,
-                maxiter=maxiter_inner,
-                interpret=interpret,
-                stag_window=stag_window,
+            wt3 = st.StencilCoefficients(
+                *(v.reshape((-1,) + grid_shape) for v in wt32)
             )
+            rt3 = rt.reshape((-1,) + grid_shape)
+            if inner == "pallas_ms":
+                x3 = cg_symmetrized_pallas_ms(
+                    wt3, rt3, tol=inner_tol, maxiter=maxiter_inner,
+                    interpret=interpret,
+                )
+            else:
+                x3 = cg_symmetrized_pallas(
+                    wt3, rt3, tol=inner_tol, maxiter=maxiter_inner,
+                    interpret=interpret, stag_window=stag_window,
+                )
             # per-sample iteration counts stay on-chip in the fused kernel
             return x3.reshape(batch + grid_shape), jnp.int32(maxiter_inner)
 
