@@ -1,0 +1,96 @@
+"""Auxiliary components: learned estimators, nonlinear study, energy/timing,
+dashboards importability, contrast-flatness property of the greedy basis."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import romhighcontrast_tpu  # noqa: F401
+from romhighcontrast_tpu import FemSpace, GreedyBuilder, INFINIT_A
+
+
+def test_estimator_tree_and_nn_fit_predict():
+    from romhighcontrast_tpu.rom.estimators import EstimatorTree
+
+    rng = np.random.default_rng(0)
+    n_basis, n_blocks, n_samples = 4, 3, 60
+    a_base = rng.uniform(1, 10, size=(n_basis, 1, n_blocks))
+    c = rng.standard_normal((n_samples, n_basis))
+    a_true = rng.uniform(1, 10, size=(n_samples, n_blocks))
+    est = EstimatorTree(a_base, n_estimators=5).fit(c, a_true)
+    pred = np.asarray(est.estimate_parameter(c))
+    assert pred.shape == (n_samples, n_blocks)
+    # random forests memorise the training set reasonably well
+    assert np.mean(np.abs(pred - a_true)) < np.std(a_true)
+
+
+def test_nonlinear_study_runs_and_learns():
+    from romhighcontrast_tpu.experiments.nonlinear import MWhere, run_study
+
+    res = run_study(geometry=(2, 2), mesh=4, n_max=250, n_test=50,
+                    n_train_list=(150,), mwhere=MWhere(start=0, m=3),
+                    only_j=6, verbose=False)
+    lr = res[("LR", 150)]["rmse"]
+    sv = res["singular_values"]
+    unknown = res[("LR", 150)]["unknown"]
+    n = 250
+    # sanity scale: predicting zero gives RMSE ~ the singular-value scale;
+    # the learned predictor must not exceed it (linear modes are partially
+    # but not perfectly predictable — the paper's point)
+    zero_rmse = sv[unknown] / np.sqrt(n - 1)
+    assert lr.shape == zero_rmse.shape
+    assert np.all(lr < 1.5 * zero_rmse)
+    assert np.mean(lr / zero_rmse) < 1.0
+
+
+def test_energy_tracker_accounting():
+    import time
+
+    from romhighcontrast_tpu.utils.energy import EnergyTracker
+
+    t = EnergyTracker(watts_per_device=100.0, num_devices=2)
+    with t:
+        time.sleep(0.05)
+    assert t.seconds >= 0.05
+    assert t.electricity_consumption_kWh > 0
+    assert "kWh" in t.report()
+
+
+def test_calculate_time_wraps_device_work():
+    from romhighcontrast_tpu.utils.timing import calculate_time
+
+    space = FemSpace((2, 2), 4)
+    t, out = calculate_time(space.solve, verbose=False)(np.ones((3, 2, 2)))
+    assert t > 0 and out.shape == (3, space.vspace_dim)
+
+
+def test_dashboards_importable_and_gated():
+    import romhighcontrast_tpu.viz.dashboards as dash
+
+    assert callable(dash.visualize_intuition)
+    assert callable(dash.visualize_convergence)
+    assert set(dash.ERROR_METRICS) == {"L2", "Linf"}
+
+
+def test_greedy_error_is_contrast_flat():
+    """The paper's headline property: the greedy basis approximates uniformly
+    across 10 orders of magnitude of contrast (reference error-path plots,
+    HighContrast.py:248-265)."""
+    space = FemSpace((2, 2), 6)
+    contrasts = np.concatenate(
+        [[INFINIT_A, 1.0], 1 / np.linspace(1 / INFINIT_A, 1, 30, endpoint=False)]
+    )
+    a = np.ones((len(contrasts), 2, 2))
+    a[:, 0, 0] = contrasts
+    sols = space.solve(a)
+    h1 = space.h10_norm(sols)
+    rb = GreedyBuilder().build(n=6, sm=space, solutions2train=sols,
+                               a2train=jnp.asarray(a), solutions2train_h1norm=h1)
+    fm = rb.forward_modeling(space, jnp.asarray(a))
+    rel = np.asarray(space.h10_norm(fm - sols) / h1)
+    # flat in contrast: no error blow-up toward the stiff end
+    assert rel.max() < 1e-5
+    lo = rel[contrasts <= 1e2].max()
+    hi = rel[contrasts >= 1e8].max()
+    assert hi < 50 * max(lo, 1e-12)
