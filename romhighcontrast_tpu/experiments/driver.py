@@ -40,6 +40,15 @@ class TypeOfProblems(NamedTuple):
     parameter_estimation_linear: object
 
 
+class RBErrorDataType(NamedTuple):
+    """Per-basis error record (reference: HighContrast.py:30)."""
+
+    ReducedBasisName: str
+    ReducedBasis: object
+    a2test: object
+    errors: object
+
+
 def default_builders():
     """The paper's four builders (reference: HighContrast.py:37-42)."""
     return [
@@ -84,7 +93,7 @@ def experiment(
     max_num_samples_offline: int = 10_000,
     seed: int = 42,
     recalculate_basis: bool = False,
-    method: str = "pcg",
+    method: str = "mixed",
     verbose: bool = True,
     results_dir=None,
 ) -> ExperimentResult:
@@ -169,6 +178,23 @@ def experiment(
             )
 
     # ---------------- stage 4: errors & timings ---------------- #
+    # Shape discipline: every n from 1..vn_max_dim reuses ONE compiled
+    # program per problem type — the basis is zero-padded to vn_max_dim with
+    # an active-row mask (forward_reduced_padded / project_padded).  The
+    # per-n small algebra (lstsq, estimators, sorted QR) runs on host numpy:
+    # it is microscopic, and per-shape device compiles would dominate the
+    # stage (remote TPU compiles are ~30s each).
+    a_dev = jnp.asarray(a)
+    a_np = np.asarray(a)
+    padded_ok = hasattr(space, "forward_reduced_padded")
+    basis_eval = {
+        key: np.asarray(
+            space.evaluate_solutions(measurement_points, bases[key].basis)
+        )
+        for key in bases
+    }
+    meas_np = np.asarray(measurements)
+
     for n in range(1, vn_max_dim + 1):
         for key, full_rb in bases.items():
             entry = store[key]
@@ -181,27 +207,46 @@ def experiment(
                 print(f"dim(Vn)={n} [{key}]")
             rb = full_rb[:n]
 
-            se_t, (c, se_sol) = _timed(
-                rb.state_estimation, space, measurement_points, measurements,
-                return_coefs=True,
+            # state estimation + parameter estimation (host: tiny shapes)
+            t0 = time.time()
+            Phi = basis_eval[key][:n]  # (n, m)
+            c = np.linalg.lstsq(Phi.T, meas_np.T, rcond=None)[0]  # (n, k)
+            se_sol = jnp.asarray(c.T @ np.asarray(rb.basis))
+            se_t = time.time() - t0
+            t0 = time.time()
+            inv_params = 1.0 / np.einsum(
+                "bi,b...->i...", c, 1.0 / np.asarray(rb.a)
             )
-            inv_t, inv_params = _timed(rb.parameter_estimation_inverse, c)
-            lin_t, lin_params = _timed(rb.parameter_estimation_linear, c)
+            inv_t = time.time() - t0
+            t0 = time.time()
+            lin_params = np.einsum("bi,b...->i...", c, np.asarray(rb.a))
+            lin_t = time.time() - t0
 
-            rb.orthonormalize()
-            fm_t, fm_sol = _timed(rb.forward_modeling, space, jnp.asarray(a))
-            pj_t, pj_sol = _timed(rb.projection, space, solutions)
+            # contrast-sorted orthonormalisation on host (reference:
+            # ReducedBasis.py:94-98), then fixed-shape padded device solves
+            hc = np.max(np.asarray(rb.a), axis=(-2, -1))
+            order = np.argsort(1.0 / hc)
+            q, _ = np.linalg.qr(np.asarray(rb.basis)[order].T)
+            V = q.T  # (n, dim) orthonormal
+            if padded_ok:
+                V_pad = np.zeros((vn_max_dim, V.shape[1]))
+                V_pad[:n] = V
+                mask = np.zeros(vn_max_dim)
+                mask[:n] = 1.0
+                fm_t, fm_sol = _timed(
+                    space.forward_reduced_padded, a_dev, V_pad, mask
+                )
+                pj_t, pj_sol = _timed(space.project_padded, solutions, V_pad, mask)
+            else:
+                fm_t, fm_sol = _timed(space.forward_reduced, a_dev, V)
+                pj_t, pj_sol = _timed(space.project, solutions, V)
 
             errors[nkey] = TypeOfProblems(
                 forward_modeling=np.asarray(space.h10_norm(fm_sol - solutions) / h1norms),
                 projection=np.asarray(space.h10_norm(pj_sol - solutions) / h1norms),
                 state_estimation=np.asarray(space.h10_norm(se_sol - solutions) / h1norms),
-                parameter_estimation_inverse=np.asarray(
-                    jnp.abs(1 - inv_params / jnp.asarray(a))
-                ),
-                parameter_estimation_linear=np.asarray(
-                    jnp.abs(1 - lin_params / jnp.asarray(a))
-                ),
+                parameter_estimation_inverse=np.abs(1 - inv_params / a_np),
+                parameter_estimation_linear=np.abs(1 - lin_params / a_np),
             )._asdict()
             times[nkey] = TypeOfProblems(
                 forward_modeling=fm_t,

@@ -170,8 +170,11 @@ class FemSpace:
         Replaces the reference's per-parameter (process-)mapped ``galerkin``
         solve (SolutionsManagers.py:17-40,64-68).  ``method``:
 
-        * ``"pcg"`` (default) — stencil PCG, the TPU performance path.
-          Accepts the reference aliases ``"lsqsparse"``.
+        * ``"mixed"`` (default) — f32 CG on the Jacobi-symmetrized system
+          inside f64 iterative refinement; f64-accurate at any contrast.
+        * ``"pallas"`` — same, with the fused VMEM-resident Pallas inner CG
+          (fastest on TPU; interpret mode on CPU).
+        * ``"pcg"`` — pure-f64 Jacobi PCG (alias ``"lsqsparse"``).
         * ``"cholesky"`` — batched dense Cholesky (alias ``"lsq"``).
         """
         method = (method or self.method).lower()
