@@ -7,6 +7,7 @@ src/lib/SolutionsManagers.py:247-364).
 """
 
 from romhighcontrast_tpu.models.fem import FemSpace
+from romhighcontrast_tpu.models.manager import SolutionManager
 from romhighcontrast_tpu.models.polynomial import PolynomialSpace
 
-__all__ = ["FemSpace", "PolynomialSpace"]
+__all__ = ["FemSpace", "PolynomialSpace", "SolutionManager"]
