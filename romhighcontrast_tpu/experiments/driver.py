@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Callable, NamedTuple, Sequence
+from typing import NamedTuple, Sequence
 
 import numpy as np
 import jax.numpy as jnp
@@ -109,7 +109,9 @@ def experiment(
     vn_max_dim2do_stats = (
         vn_max_dim if vn_max_dim2do_stats is None else vn_max_dim2do_stats
     )
-    base = results_path if results_dir is None else results_dir
+    from pathlib import Path
+
+    base = results_path if results_dir is None else Path(results_dir)
     store = ExperimentStore(base / f"HighContrast_{name}")
     if verbose:
         print(f"========== experiment {name} -> {store.folder} ==========")
