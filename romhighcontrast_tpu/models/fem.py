@@ -178,6 +178,14 @@ class FemSpace:
         * ``"cholesky"`` — batched dense Cholesky (alias ``"lsq"``).
         """
         method = (method or self.method).lower()
+        if self.N == 1 and method not in ("cholesky", "lsq"):
+            # Degenerate discretisation: with one cell per block the stiff
+            # blocks have no interior vertices and the Jacobi-symmetrized
+            # operator keeps a contrast-dependent near-null cluster mode
+            # (lambda_min ~ 1/contrast — measured), outside the iterative
+            # solvers' design envelope.  These spaces are tiny; use the
+            # exact dense path.
+            method = "cholesky"
         a = jnp.asarray(a, self.dtype)
         squeeze = a.ndim == 2
         if squeeze:
