@@ -231,6 +231,45 @@ class FemSpace:
         """Reference-named alias of :meth:`solve` (SolutionsManagers.py:64-68)."""
         return self.solve(a2try, **kw)
 
+    def solve_bootstrapped(
+        self,
+        a: jnp.ndarray,
+        n_seed: int = 24,
+        n_modes: int = 12,
+        method: str | None = None,
+        tol: float = 1e-11,
+    ) -> jnp.ndarray:
+        """Two-phase batched solve: use the ROM to accelerate the FOM.
+
+        Solve a small seed subset cold, build a POD basis from it, and
+        warm-start the full batch from the reduced Galerkin prediction —
+        the solution manifold is low-dimensional (that is the premise of the
+        whole framework), so the prediction captures most of every solution
+        and the iterative solve only refines the small remainder.
+        """
+        method = (method or self.method).lower()
+        a = jnp.asarray(a, self.dtype)
+        if a.ndim == 2:
+            return self.solve(a, method=method, tol=tol)
+        a2 = a.reshape((-1,) + a.shape[-2:])
+        n_seed = min(n_seed, a2.shape[0])
+        seed_sols = self.solve(a2[:n_seed], method=method, tol=tol)
+        # uncentered POD: the warm start must live in a linear subspace
+        _, S, Vt = jnp.linalg.svd(seed_sols, full_matrices=False)
+        V = Vt[: min(n_modes, n_seed)]
+        x0 = self.forward_reduced(a2, V)  # (b, dim) reduced Galerkin
+        w = self.weights(a2)
+        rhs_grid = jnp.broadcast_to(
+            self.load.reshape((1,) + self.grid_shape),
+            (a2.shape[0],) + self.grid_shape,
+        )
+        inner = "pallas" if method == "pallas" else "xla"
+        x, _ = solvers.solve_pcg_mixed(
+            w, rhs_grid, tol=tol, inner=inner,
+            x0=x0.reshape((-1,) + self.grid_shape),
+        )
+        return x.reshape(a.shape[:-2] + (self.vspace_dim,))
+
     # ------------------------------------------------------------------ #
     # norms
     # ------------------------------------------------------------------ #

@@ -195,6 +195,7 @@ def solve_pcg_mixed(
     inner_dtype=jnp.float32,
     inner: str = "xla",
     stag_window: int = 1_000_000,
+    x0: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, PCGInfo]:
     """Mixed-precision solve: float32 CG on the Jacobi-symmetrized system
     inside float64 iterative refinement.
@@ -273,9 +274,16 @@ def solve_pcg_mixed(
         r = true_resid(x)
         return x, r, rounds + 1, iters + it
 
-    x = jnp.zeros_like(b)
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        # warm start (e.g. a reduced-basis Galerkin prediction — "use the
+        # ROM to accelerate the FOM"): rounds start from its residual
+        x = jnp.broadcast_to(jnp.asarray(x0, b.dtype), b.shape)
+        r = true_resid(x)
     x, r, rounds, iters = lax.while_loop(
-        cond, body, (x, b, jnp.int32(0), jnp.int32(0))
+        cond, body, (x, r, jnp.int32(0), jnp.int32(0))
     )
     rr = jnp.sum(r * r, axis=(-2, -1))
     return x, PCGInfo(iterations=iters, relative_residual=jnp.sqrt(rr / safe_b))

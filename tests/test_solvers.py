@@ -101,3 +101,18 @@ def test_zero_rhs_batch_is_stable():
     assert np.all(np.asarray(x) == 0)
     x2, info2 = solvers.solve_pcg(w, rhs, tol=1e-11, maxiter=100)
     assert np.all(np.isfinite(np.asarray(x2)))
+
+
+def test_bootstrapped_solve_matches_plain(problem):
+    """ROM-bootstrapped warm start must reach the same accuracy as the cold
+    solve across a contrast sweep."""
+    space = FemSpace((2, 2), 8)
+    c = np.concatenate(
+        [[INFINIT_A, 1.0], 1 / np.linspace(1 / INFINIT_A, 1, 20, endpoint=False)]
+    )
+    a = np.ones((len(c), 2, 2))
+    a[:, 0, 0] = c
+    u_boot = np.asarray(space.solve_bootstrapped(a, n_seed=6, n_modes=4))
+    u_cold = np.asarray(space.solve(a))
+    rel = np.max(np.abs(u_boot - u_cold)) / np.max(np.abs(u_cold))
+    assert rel < 1e-8
