@@ -63,7 +63,7 @@ def _coarse_apply(W: jnp.ndarray, Gchol: jnp.ndarray, r: jnp.ndarray) -> jnp.nda
 def solve_pcg(
     w: st.StencilCoefficients,
     rhs: jnp.ndarray,
-    tol: float = 1e-13,
+    tol: float = 1e-11,
     maxiter: int = 10_000,
     coarse_basis: jnp.ndarray | None = None,
     use_coarse: bool = False,
@@ -75,8 +75,9 @@ def solve_pcg(
       w: stencil weights with shape ``(batch..., nr, nc)``.
       rhs: ``(nr, nc)`` or ``(batch..., nr, nc)`` right-hand side(s) on the
         interior grid.
-      tol: relative residual target (in the preconditioned norm a final true
-        residual is also reported in ``info``).
+      tol: relative residual target.  Do not go below ~1e-11: the f64
+        recursive residual stalls at the roundoff floor at contrast 1e10
+        (measured) and the loop burns maxiter.
       coarse_basis: optional ``(k, nr, nc)`` coarse space for the two-level
         preconditioner (pass ``use_coarse=True`` to enable).
 
