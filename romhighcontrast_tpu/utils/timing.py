@@ -8,8 +8,17 @@ async dispatch) and an optional XLA profiler trace hook.
 from __future__ import annotations
 
 import contextlib
+import inspect
 import time
 from typing import Callable
+
+
+def get_not_default_args_names(f: Callable):
+    """Names of parameters without defaults (reference: HighContrast.py:33-34)."""
+    return [
+        k for k, v in inspect.signature(f).parameters.items()
+        if v.default is inspect.Parameter.empty
+    ]
 
 
 def block(x):
