@@ -96,12 +96,15 @@ def experiment(
     method: str = "mixed",
     verbose: bool = True,
     results_dir=None,
+    mesh=None,
 ) -> ExperimentResult:
     """Run the full offline+online pipeline for one experiment configuration.
 
     Mirrors the reference's ``experiment()`` signature and staging
     (HighContrast.py:118-215); ``method`` accepts the reference aliases
-    ("lsq" -> dense Cholesky, "lsqsparse" -> stencil PCG).
+    ("lsq" -> dense Cholesky, "lsqsparse" -> stencil PCG).  Pass a
+    ``jax.sharding.Mesh`` (e.g. ``parallel.data_mesh()``) to shard the
+    snapshot axis over the device mesh.
     """
     reduced_basis_builders = (
         default_builders() if reduced_basis_builders is None else reduced_basis_builders
@@ -130,7 +133,12 @@ def experiment(
 
     # ---------------- stage 1: snapshots ---------------- #
     if recalculate or "solutions" not in store:
-        t, sols = _timed(space.solve, jnp.asarray(a))
+        if mesh is not None:
+            from romhighcontrast_tpu.parallel import sharded_snapshot_solve
+
+            t, sols = _timed(sharded_snapshot_solve, space, a, mesh)
+        else:
+            t, sols = _timed(space.solve, jnp.asarray(a))
         store["time2calculate_solutions"] = t
         store["solutions"] = np.asarray(sols)
         t, h1 = _timed(space.h10_norm, sols)

@@ -68,3 +68,32 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (4,)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_experiment_driver_on_mesh(tmp_path, mesh):
+    """Stage-1 snapshot generation sharded over the 8-device mesh inside the
+    full experiment pipeline."""
+    from romhighcontrast_tpu.experiments.driver import experiment
+    from romhighcontrast_tpu.rom.builders import RandomBuilder
+
+    res = experiment(
+        name="meshed",
+        reduced_basis_builders=[RandomBuilder()],
+        mesh_discretization_per_dim=3,
+        diff_coef_refinement=3,
+        vn_max_dim=2,
+        num_measurements=8,
+        blocks_geometry=(2, 2),
+        high_contrast_blocks=[[(0, 0)]],
+        max_num_samples_offline=20,
+        seed=0,
+        verbose=False,
+        results_dir=tmp_path,
+        mesh=mesh,
+    )
+    sols = res.store["solutions"]
+    assert sols.shape[1] == res.space.vspace_dim
+    assert np.all(np.isfinite(sols))
+    # matches the single-device result
+    want = np.asarray(res.space.solve(res.a))
+    np.testing.assert_allclose(sols, want, rtol=1e-9, atol=1e-14)
