@@ -26,7 +26,6 @@ from romhighcontrast_tpu.config import INFINIT_A
 from romhighcontrast_tpu.rom.basis import (
     ReducedBasis,
     get_high_contrast_coefficient,
-    sort_orthogonalize_base,
 )
 
 GREEDY_FOR_H10 = r"$H^1_0$"

@@ -94,3 +94,12 @@ def test_greedy_error_is_contrast_flat():
     lo = rel[contrasts <= 1e2].max()
     hi = rel[contrasts >= 1e8].max()
     assert hi < 50 * max(lo, 1e-12)
+
+
+def test_get_not_default_args_names():
+    from romhighcontrast_tpu.utils.timing import get_not_default_args_names
+
+    def f(a, b, c=1):
+        return a
+
+    assert get_not_default_args_names(f) == ["a", "b"]
