@@ -97,3 +97,34 @@ def test_experiment_driver_on_mesh(tmp_path, mesh):
     # matches the single-device result
     want = np.asarray(res.space.solve(res.a))
     np.testing.assert_allclose(sols, want, rtol=1e-9, atol=1e-14)
+
+
+def test_greedy_on_sharded_training_set(mesh):
+    """The greedy builder works transparently on mesh-sharded training data
+    (XLA propagates the batch sharding through the padded reduced solves;
+    the argmax is a cross-device reduction) and selects the same basis."""
+    from romhighcontrast_tpu.rom.builders import GreedyBuilder
+    from romhighcontrast_tpu.parallel.mesh import batch_sharding
+
+    space = FemSpace((2, 2), 5)
+    c = 1 / np.linspace(1 / INFINIT_A, 1, 16, endpoint=False)
+    a = np.ones((16, 2, 2))
+    a[:, 1, 0] = c
+    sols = space.solve(a)
+    h1 = space.h10_norm(sols)
+
+    rb_local = GreedyBuilder().build(
+        n=4, sm=space, solutions2train=sols, a2train=jnp.asarray(a),
+        solutions2train_h1norm=h1,
+    )
+    sols_sh = jax.device_put(sols, batch_sharding(mesh))
+    a_sh = jax.device_put(jnp.asarray(a), batch_sharding(mesh))
+    h1_sh = jax.device_put(h1, batch_sharding(mesh))
+    rb_sh = GreedyBuilder().build(
+        n=4, sm=space, solutions2train=sols_sh, a2train=a_sh,
+        solutions2train_h1norm=h1_sh,
+    )
+    np.testing.assert_array_equal(np.asarray(rb_local.a), np.asarray(rb_sh.a))
+    np.testing.assert_allclose(
+        np.asarray(rb_local.basis), np.asarray(rb_sh.basis), rtol=1e-12
+    )
