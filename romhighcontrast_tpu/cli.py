@@ -101,11 +101,9 @@ def main(argv=None):
                           method=args.method)
         print(json.dumps({"study": args.study, "experiments": names}))
     elif args.cmd == "bench":
-        import runpy
-        from pathlib import Path
+        from romhighcontrast_tpu.benchmarks import main as bench_main
 
-        bench = Path(__file__).parent.parent / "bench.py"
-        runpy.run_path(str(bench), run_name="__main__")
+        return bench_main()
     elif args.cmd == "nonlinear":
         from romhighcontrast_tpu.experiments.nonlinear import run_study
 

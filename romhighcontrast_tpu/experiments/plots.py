@@ -93,10 +93,12 @@ def plot_error_paths(ax, store, reduced_basis_2show, type_of_problem,
         ax.set_yscale("log")
 
 
-def fit_convergence_rate(ns, linf):
+def fit_convergence_rate(ns, linf, valid=None):
     """Least-squares fit of log(err) ~ rate * n + origin above the machine
-    floor (reference: HighContrast.py:390-394)."""
-    keep = linf > MACHINE_PRECISION
+    floor (reference: HighContrast.py:390-394).  ``valid`` overrides the
+    floor mask (needed when fitting transformed quantities like -log(err),
+    whose values are not comparable to the floor)."""
+    keep = (linf > MACHINE_PRECISION) if valid is None else np.asarray(valid)
     A = np.vstack([ns[keep], np.ones(keep.sum())]).T
     sol, *_ = np.linalg.lstsq(A, np.log(linf[keep]).reshape(-1, 1), rcond=None)
     rate, origin = np.ravel(sol)
@@ -179,10 +181,11 @@ def gather_experiments(names, high_contrast_blocks_list, reduced_basis_name,
                 rates[exp_name] = rate
                 ax.plot(ns[keep], np.exp(rate * ns[keep] + origin), ":", c=c,
                         alpha=0.7)
-                # sub-exponential fit: log(-log err) vs log n
+                # sub-exponential fit: log(-log err) vs log n, excluding
+                # machine-floor points of the ORIGINAL errors
                 linf_log = -np.log(linf)
                 rate_log, origin_log, _ = fit_convergence_rate(
-                    np.log(ns), linf_log
+                    np.log(ns), linf_log, valid=linf > MACHINE_PRECISION
                 )
                 ax_log.plot(ns, linf_log, label=f"{label} {rate_log:.2f}", c=c,
                             linestyle="--", marker=".")

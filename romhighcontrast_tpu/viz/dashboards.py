@@ -95,7 +95,11 @@ def _convergence_loop(sm, solutions, sampler_dict, basis_dict, estimator_dict,
             )
             measurements = np.asarray(
                 sm.evaluate_solutions(measurement_points, solutions)
-            ) + np.random.normal(scale=noise if noise > 0 else 1e-300)
+            )
+            if noise > 0:
+                measurements = measurements + np.random.normal(
+                    scale=noise, size=measurements.shape
+                )
         est = estimator_dict[estimator_name](
             measurement_points=measurement_points, measurements=measurements,
             reduced_basis=basis.reshape(n, -1), sm=sm,
