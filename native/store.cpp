@@ -110,10 +110,14 @@ int rhc_load(const char* path, uint8_t* out, uint64_t nbytes) {
     return 4;
   }
   std::vector<uint8_t> buf;
+  const uint64_t max_clen = compressBound(kChunk) + 64;
   uint64_t off = 0;
   for (uint64_t c = 0; c < h.nchunks; ++c) {
     uint64_t clen;
     if (!read_all(f, &clen, sizeof clen)) { fclose(f); return 2; }
+    // a corrupt/truncated chunk-length field must return an error code, not
+    // throw bad_alloc across the C ABI (which would abort the process)
+    if (clen > max_clen) { fclose(f); return 4; }
     uint64_t raw = (c + 1 == h.nchunks) ? nbytes - c * kChunk : kChunk;
     if (h.level > 0) {
       buf.resize(clen);

@@ -153,8 +153,10 @@ def experiment(
 
     # ---------------- stage 2: measurements ---------------- #
     # reference samples uniform [0,1]^2 regardless of the domain
-    # (HighContrast.py:155) — preserved.
-    np.random.seed(seed)
+    # (HighContrast.py:155), CONTINUING the numpy stream seeded (and
+    # partially consumed by the grid subsample) inside get_a2test_and_train
+    # — re-seeding here would diverge from the reference stream whenever the
+    # contrast grid was subsampled.
     measurement_points = np.random.uniform(size=(num_measurements, 2))
     measurements = space.evaluate_solutions(measurement_points, solutions)
 
@@ -178,6 +180,10 @@ def experiment(
             entry["time2build"] = t
             entry["basis"] = np.asarray(rb.basis)
             entry["basis_a"] = np.asarray(rb.a)
+            # a rebuilt basis invalidates cached statistics (reference resets
+            # data[name] = {"errors": {}, ...} on rebuild, HighContrast.py:164)
+            entry["errors"] = {}
+            entry["times"] = {}
             store.save()
             bases[key] = rb
         else:

@@ -89,7 +89,10 @@ class ExperimentStore:
         flat = {}
         for key, fname in index.items():
             arr = native.load_array(self.folder / "arrays" / fname)
-            flat[key.replace("/", _SEP)] = arr.item() if arr.ndim == 0 else arr
+            # older stores used "/"-joined keys; current stores keep the raw
+            # separator (JSON-safe), so user keys containing "/" round-trip
+            key = key.replace("/", _SEP) if _SEP not in key else key
+            flat[key] = arr.item() if arr.ndim == 0 else arr
         self.data = _unflatten(flat)
         return self.data
 
@@ -104,7 +107,7 @@ class ExperimentStore:
             for i, (k, v) in enumerate(flat.items()):
                 fname = f"{i:05d}.rhc"
                 native.save_array(adir / fname, v)
-                index[k.replace(_SEP, "/")] = fname
+                index[k] = fname  # raw separator-joined key (JSON-safe)
             self.index_path.write_text(json.dumps(index, indent=1))
         else:
             np.savez_compressed(self.path, **flat)

@@ -116,16 +116,21 @@ class LabPipeline:
                         )
                     ctx.update(out)
                     if store is not None:
-                        cacheable = {
-                            k: v for k, v in out.items()
-                            if isinstance(v, (int, float, str, np.ndarray))
+                        serialisable = all(
+                            isinstance(v, (int, float, str, np.ndarray))
                             or hasattr(v, "__array__")
-                        }
-                        store.setdefault("pipeline", {})[cache_key] = {
-                            k: np.asarray(v) if hasattr(v, "__array__") else v
-                            for k, v in cacheable.items()
-                        }
-                        store.save()
+                            for v in out.values()
+                        )
+                        # cache ONLY fully-serialisable stage outputs: a
+                        # partial cache hit would silently drop object
+                        # outputs (e.g. a solution manager) on re-entry and
+                        # starve downstream stages
+                        if serialisable:
+                            store.setdefault("pipeline", {})[cache_key] = {
+                                k: np.asarray(v) if hasattr(v, "__array__") else v
+                                for k, v in out.items()
+                            }
+                            store.save()
                     if verbose:
                         print(f"[{tags}] {stage_name} done")
                 ctx["__variants__"] = tags

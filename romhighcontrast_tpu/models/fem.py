@@ -164,6 +164,7 @@ class FemSpace:
         maxiter: int = 5_000,
         use_coarse: bool = False,
         chunk_size: int | None = None,
+        interior_clusters: bool | None = None,
     ) -> jnp.ndarray:
         """Batched FOM solve ``K(a) u = rhs`` (default rhs: the f=1 load).
 
@@ -201,7 +202,46 @@ class FemSpace:
             )
             if method in ("pcg_mixed", "mixed", "pallas"):
                 inner = "pallas" if method == "pallas" else "xla"
-                x, info = solvers.solve_pcg_mixed(w, rhs_grid, tol=tol, inner=inner)
+                # Interior stiff-block components carry 1/contrast near-null
+                # modes unresolvable in f32 (measured: silent garbage without
+                # treatment).  When present — or unknown because `a` is
+                # traced — route to the deflated XLA inner solver with the
+                # cluster coarse space; batches without interior clusters
+                # take the fast path untouched.
+                from romhighcontrast_tpu.ops import clusters as cl
+
+                interior = interior_clusters
+                if interior is None:
+                    try:
+                        interior = cl.has_interior_cluster(np.asarray(a))
+                    except Exception:
+                        # traced coefficients: cannot inspect.  Default to the
+                        # fast path — callers jitting solve() over parameter
+                        # fields that may contain interior stiff clusters
+                        # MUST pass interior_clusters=True.
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "FemSpace.solve: coefficients are traced; assuming "
+                            "no interior high-contrast clusters (pass "
+                            "interior_clusters=True if they can occur)."
+                        )
+                        interior = False
+                if not interior:
+                    x, info = solvers.solve_pcg_mixed(
+                        w, rhs_grid, tol=tol, inner=inner
+                    )
+                else:
+                    labels = cl.cluster_labels(
+                        a.reshape((-1,) + a.shape[-2:]), self.N
+                    )
+                    nrb, ncb = self.blocks_geometry
+                    x, info = solvers.solve_pcg_deflated(
+                        w, rhs_grid,
+                        cluster_labels=labels.reshape(batch + self.grid_shape),
+                        n_clusters=nrb * ncb,
+                        tol=tol, maxiter=maxiter,
+                    )
             else:
                 coarse = (
                     self.block_indicators() if use_coarse and self.N >= 2 else None

@@ -1,0 +1,166 @@
+"""Stiff-cluster coarse space: the contrast-induced near-null modes.
+
+For a connected component C of high-contrast blocks that does NOT touch the
+Dirichlet boundary, the vector ``1_C`` (one on every vertex of the closed
+region, zero elsewhere) has energy ``1_C^T K 1_C = O(perimeter)`` (only the
+O(1)-weight edges leaving the region contribute) while its diagonal-weighted
+norm is ``O(contrast * area)`` — a generalized eigenvalue ``~ 1/contrast``
+of the Jacobi-symmetrized operator (measured: lambda_min ~ 1e-12 at contrast
+1e10).  float32 cannot resolve such modes, so the mixed-precision solver must
+handle them exactly: a rank-k coarse solve over the cluster indicators in the
+float64 refinement loop (ops.solvers.solve_pcg_mixed) removes precisely the
+components the f32 inner CG amplifies by 1/lambda.
+
+Labels are computed on host (the coefficients are concrete at solve() time);
+the device-side operators are one scatter-add / gather per application.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+#: coefficients >= STIFF_THRESHOLD are "stiff" for preconditioning purposes
+#: (modes with lambda ~ 1/a matter once 1/a is below the f32 resolution; the
+#: classification only affects preconditioning quality, never correctness)
+STIFF_THRESHOLD = 1e5
+
+
+def cluster_labels(a: jnp.ndarray, N: int, threshold: float = STIFF_THRESHOLD
+                   ) -> jnp.ndarray:
+    """Per-sample vertex labels of connected stiff-block components.
+
+    Pure-jnp (traceable: works inside jit with data-dependent coefficients).
+    Component labeling by max-label propagation over the tiny (nrb, ncb)
+    block grid — nrb*ncb sweeps guarantee convergence.  Labels are NOT
+    compacted (values are arbitrary in 1..nrb*ncb); the coarse-space code
+    uses the static ``k = nrb*ncb`` bin count, and empty bins get identity
+    rows in the Gram.
+
+    Args:
+      a: block coefficients ``(b, nrb, ncb)``.
+      N: cells per block per dimension.
+
+    Returns ``labels (b, nri, nci)`` int32, 0 = no cluster; a vertex belongs
+    to a cluster if ANY of its four incident cells does.
+    """
+    a = jnp.asarray(a)
+    b, nrb, ncb = a.shape
+    stiff = a >= threshold
+    Q = nrb * ncb
+    seed = jnp.arange(1, Q + 1, dtype=jnp.int32).reshape(nrb, ncb)
+    lab = jnp.where(stiff, seed, 0)
+
+    def sweep(_, lab):
+        p = jnp.pad(lab, ((0, 0), (1, 1), (1, 1)))
+        nb = jnp.maximum(
+            jnp.maximum(p[:, :-2, 1:-1], p[:, 2:, 1:-1]),
+            jnp.maximum(p[:, 1:-1, :-2], p[:, 1:-1, 2:]),
+        )
+        return jnp.where(stiff, jnp.maximum(lab, nb), 0)
+
+    lab = jax.lax.fori_loop(0, Q, sweep, lab)
+    # drop components touching the domain boundary: their cluster mode is
+    # killed by the Dirichlet condition (lambda stays O(1), measured), so
+    # treating them would only waste coarse-space bins
+    edge = jnp.zeros((nrb, ncb), bool).at[0, :].set(True).at[-1, :].set(True)
+    edge = edge.at[:, 0].set(True).at[:, -1].set(True)
+    lab_edge = jnp.where(edge, lab, 0)
+    bi = jnp.broadcast_to(jnp.arange(b)[:, None, None], lab.shape)
+    boundary_flag = (
+        jnp.zeros((b, Q + 1), jnp.int32).at[bi, lab_edge].set(1)
+    )
+    lab = jnp.where(boundary_flag[bi, lab] > 0, 0, lab)
+    # block labels -> cell labels -> vertex labels (max of incident cells)
+    cell = jnp.repeat(jnp.repeat(lab, N, axis=-2), N, axis=-1)
+    v = jnp.maximum(
+        jnp.maximum(cell[:, :-1, :-1], cell[:, 1:, :-1]),
+        jnp.maximum(cell[:, :-1, 1:], cell[:, 1:, 1:]),
+    )
+    return v.astype(jnp.int32)
+
+
+def has_interior_cluster(a, threshold: float = STIFF_THRESHOLD) -> bool:
+    """Host-side check: does any sample have a stiff component that does not
+    touch the domain boundary?  (Routing hint: such batches need the deflated
+    solver path.)  Raises if ``a`` is traced — callers treat that as
+    'unknown' and take the safe path."""
+    import numpy as np
+
+    a = np.asarray(a)  # raises TracerArrayConversionError under tracing
+    a = a.reshape((-1,) + a.shape[-2:])
+    stiff = a >= threshold
+    if not stiff.any():
+        return False
+    interior = stiff.copy()
+    interior[:, 0, :] = False
+    interior[:, -1, :] = False
+    interior[:, :, 0] = False
+    interior[:, :, -1] = False
+    if not interior.any():
+        return False
+    from scipy import ndimage
+
+    for i in range(a.shape[0]):
+        lab, k = ndimage.label(stiff[i])
+        for c in range(1, k + 1):
+            comp = lab == c
+            touches = (
+                comp[0, :].any() or comp[-1, :].any()
+                or comp[:, 0].any() or comp[:, -1].any()
+            )
+            if not touches:
+                return True
+    return False
+
+
+def segment_sum(labels: jnp.ndarray, r: jnp.ndarray, k: int) -> jnp.ndarray:
+    """``X^T r``: per-cluster sums, ``(b, k)`` (cluster c = label c+1)."""
+    b = labels.shape[0]
+    flat_r = r.reshape(b, -1)
+    flat_l = labels.reshape(b, -1)
+    out = jnp.zeros((b, k + 1), r.dtype)
+    bi = jnp.broadcast_to(jnp.arange(b)[:, None], flat_l.shape)
+    out = out.at[bi, flat_l].add(flat_r)
+    return out[:, 1:]
+
+
+def expand(labels: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """``X y``: scatter per-cluster values back onto the grid, ``(b, nr, nc)``."""
+    b, k = y.shape
+    padded = jnp.concatenate([jnp.zeros((b, 1), y.dtype), y], axis=1)
+    bi = jnp.broadcast_to(
+        jnp.arange(b)[:, None, None], labels.shape
+    )
+    return padded[bi, labels]
+
+
+def cluster_gram_chol(w, labels: jnp.ndarray, k: int):
+    """Cholesky factor of ``G = X^T K X`` (b, k, k), with identity fill for
+    empty clusters (their corrections are forced to zero by the zero rhs)."""
+    from romhighcontrast_tpu.ops import stencil as st
+
+    cols = []
+    for c in range(k):
+        ind = (labels == c + 1).astype(w.diag.dtype)
+        Kc = st.apply_operator(w, ind)
+        cols.append(segment_sum(labels, Kc, k))  # (b, k)
+    G = jnp.stack(cols, axis=-1)  # (b, k_row, k_col)
+    G = 0.5 * (G + jnp.swapaxes(G, -1, -2))
+    counts = segment_sum(labels, jnp.ones_like(w.diag), k)  # (b, k)
+    has = (counts > 0).astype(G.dtype)
+    act = has[:, :, None] * has[:, None, :]
+    eye = jnp.eye(k, dtype=G.dtype)
+    G = G * act
+    diag = jnp.where(has > 0, jnp.diagonal(G, axis1=-2, axis2=-1), 1.0)
+    G = G * (1.0 - eye) + diag[:, :, None] * eye
+    return jnp.linalg.cholesky(G)
+
+
+def coarse_correct(w, labels: jnp.ndarray, Gchol: jnp.ndarray, r: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Exact rank-k correction ``X G^{-1} X^T r`` (b, nr, nc)."""
+    rhs = segment_sum(labels, r, Gchol.shape[-1])  # (b, k)
+    y = jax.scipy.linalg.cho_solve((Gchol, True), rhs[..., None])[..., 0]
+    return expand(labels, y)

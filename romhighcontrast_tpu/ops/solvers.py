@@ -59,6 +59,81 @@ def _coarse_apply(W: jnp.ndarray, Gchol: jnp.ndarray, r: jnp.ndarray) -> jnp.nda
     return jnp.einsum("...k,kij->...ij", y, W)
 
 
+@partial(jax.jit, static_argnames=("tol", "maxiter", "n_clusters"))
+def solve_pcg_deflated(
+    w: st.StencilCoefficients,
+    rhs: jnp.ndarray,
+    cluster_labels: jnp.ndarray,
+    n_clusters: int,
+    tol: float = 1e-11,
+    maxiter: int = 10_000,
+) -> tuple[jnp.ndarray, PCGInfo]:
+    """float64 Balancing-preconditioned (BNN) Jacobi-PCG for batches with
+    interior stiff clusters.
+
+    Interior stiff-block components carry 1/contrast near-null modes spanned
+    (to leading order) by their closed-region indicators X.  Standard PCG on
+    K with the balancing preconditioner
+
+        M^{-1} r = Q r + P^T D^{-1} P r,   Q = X G^{-1} X^T,  P = I - K Q
+
+    is the robust deflation variant (the plain DEF1 projector was measured
+    to diverge under rounding here).  Forward accuracy is eps64 * kappa —
+    the same class as the reference's direct LU at contrast 1e10.
+    """
+    from romhighcontrast_tpu.ops import clusters as cl
+
+    diag = w.diag
+    b = jnp.broadcast_to(rhs, diag.shape)
+    Gchol = cl.cluster_gram_chol(w, cluster_labels, n_clusters)
+
+    def Q(y):
+        return cl.coarse_correct(w, cluster_labels, Gchol, y)
+
+    def precond(r):
+        Pr = r - st.apply_operator(w, Q(r))
+        y = Pr / diag
+        return Q(r) + y - Q(st.apply_operator(w, y))
+
+    bnorm2 = jnp.sum(b * b, axis=(-2, -1))
+    safe_b = jnp.where(bnorm2 == 0, 1.0, bnorm2)
+    tol2 = (tol * tol) * safe_b
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z, axis=(-2, -1))
+    rr = jnp.sum(r * r, axis=(-2, -1))
+
+    def cond(state):
+        rr, it = state[4], state[5]
+        return jnp.logical_and(jnp.any(rr > tol2), it < maxiter)
+
+    def body(state):
+        x, r, p, rz, rr, it = state
+        active = (rr > tol2)[..., None, None]
+        Kp = st.apply_operator(w, p)
+        pKp = jnp.sum(p * Kp, axis=(-2, -1))
+        alpha = jnp.where(pKp > 0, rz / jnp.where(pKp > 0, pKp, 1.0), 0.0)
+        alpha_ = alpha[..., None, None]
+        x = jnp.where(active, x + alpha_ * p, x)
+        r = jnp.where(active, r - alpha_ * Kp, r)
+        z = precond(r)
+        rz_new = jnp.sum(r * z, axis=(-2, -1))
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = jnp.where(active, z + beta[..., None, None] * p, p)
+        rr = jnp.sum(r * r, axis=(-2, -1))
+        rr = jnp.where(jnp.isfinite(rr), rr, 0.0)
+        return x, r, p, rz_new, rr, it + 1
+
+    state = (x, r, p, rz, rr, jnp.int32(0))
+    x, r, p, rz, rr, it = lax.while_loop(cond, body, state)
+    r_true = b - st.apply_operator(w, x)
+    rr = jnp.sum(r_true * r_true, axis=(-2, -1))
+    return x, PCGInfo(iterations=it, relative_residual=jnp.sqrt(rr / safe_b))
+
+
 @partial(jax.jit, static_argnames=("tol", "maxiter", "use_coarse"))
 def solve_pcg(
     w: st.StencilCoefficients,
@@ -140,7 +215,13 @@ def _cg_unit_diag(wt, b, tol, maxiter, stag_window=1_000_000):
     dtype follows the inputs (float32 on the mixed-precision path).
     Optional per-sample stagnation freezing (disabled by default: the CG
     two-norm residual oscillates, so short windows exit prematurely —
-    measured to break convergence at the paper config)."""
+    measured to break convergence at the paper config).
+
+    Do NOT add f32 deflation over scaled cluster vectors here: the scaled
+    indicators have 1e5-magnitude entries whose cancellation noise makes the
+    projector useless in f32 (measured divergence to 1e18) — interior
+    stiff-cluster batches are routed to solve_pcg_deflated (f64 BNN)
+    instead."""
     bnorm2 = jnp.sum(b * b, axis=(-2, -1))
     safe_b = jnp.where(bnorm2 == 0, 1.0, bnorm2)
     tol2 = jnp.asarray(tol * tol, b.dtype) * safe_b
@@ -185,7 +266,7 @@ def _cg_unit_diag(wt, b, tol, maxiter, stag_window=1_000_000):
 
 @partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter_inner",
                                    "max_rounds", "inner_dtype", "inner",
-                                   "stag_window"))
+                                   "stag_window", "n_clusters"))
 def solve_pcg_mixed(
     w: st.StencilCoefficients,
     rhs: jnp.ndarray,
@@ -197,6 +278,8 @@ def solve_pcg_mixed(
     inner: str = "xla",
     stag_window: int = 1_000_000,
     x0: jnp.ndarray | None = None,
+    cluster_labels: jnp.ndarray | None = None,
+    n_clusters: int = 0,
 ) -> tuple[jnp.ndarray, PCGInfo]:
     """Mixed-precision solve: float32 CG on the Jacobi-symmetrized system
     inside float64 iterative refinement.
@@ -213,6 +296,16 @@ def solve_pcg_mixed(
     stagnation detection and run to whichever comes first: ``inner_tol`` or
     the attainable floor.  Each f32 iteration is ~12x cheaper than
     emulated-f64.
+
+    Stiff-cluster handling (REQUIRED for high-contrast blocks that do not
+    touch the Dirichlet boundary): such clusters carry near-null modes with
+    lambda ~ 1/contrast, unresolvable in f32 — without treatment the solver
+    silently returns garbage (measured: relative residual ~1e2 at contrast
+    1e10).  Pass ``cluster_labels`` (ops.clusters.cluster_labels) and the
+    static ``n_clusters`` bound: each refinement round then performs the
+    exact rank-k coarse solve over the cluster indicators in f64, which
+    removes precisely the components the f32 inner CG amplifies by
+    1/lambda.
     """
     diag = w.diag
     b = jnp.broadcast_to(rhs, diag.shape)
@@ -262,8 +355,21 @@ def solve_pcg_mixed(
         def inner_solve(rt):
             return _cg_unit_diag(wt32, rt, inner_tol, maxiter_inner, stag_window)
 
+    use_clusters = cluster_labels is not None and n_clusters > 0
+    if use_clusters:
+        from romhighcontrast_tpu.ops import clusters as cl
+
+        Gchol = cl.cluster_gram_chol(w, cluster_labels, n_clusters)
+
     def body(state):
         x, r, rounds, iters = state
+        if use_clusters:
+            # exact f64 rank-k solve over the stiff-cluster indicators: the
+            # f32 inner CG's error in these near-null modes is amplified by
+            # 1/lambda ~ contrast; correcting them exactly each round keeps
+            # the refinement contraction intact
+            x = x + cl.coarse_correct(w, cluster_labels, Gchol, r)
+            r = true_resid(x)
         # zero the scaled rhs of already-converged samples: their inner CG
         # then exits immediately (bb = 0), so refinement rounds only cost
         # work for the stragglers that still need digits
@@ -273,6 +379,11 @@ def solve_pcg_mixed(
         dt, it = inner_solve(rt)
         x = x + s * dt.astype(b.dtype)
         r = true_resid(x)
+        if use_clusters:
+            # trailing correction so the residual check (and the returned x)
+            # reflect the cluster modes cleaned after the last inner solve
+            x = x + cl.coarse_correct(w, cluster_labels, Gchol, r)
+            r = true_resid(x)
         return x, r, rounds + 1, iters + it
 
     if x0 is None:
