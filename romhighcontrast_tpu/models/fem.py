@@ -165,6 +165,7 @@ class FemSpace:
         use_coarse: bool = False,
         chunk_size: int | None = None,
         interior_clusters: bool | None = None,
+        return_info: bool = False,
     ) -> jnp.ndarray:
         """Batched FOM solve ``K(a) u = rhs`` (default rhs: the f=1 load).
 
@@ -263,9 +264,19 @@ class FemSpace:
                 Ka = assembly.dense_operator(self.weights(a2[i : i + chunk_size]))
                 outs.append(solvers.solve_cholesky(Ka, rhs_flat))
             out = jnp.concatenate(outs, axis=0).reshape(batch + (self.vspace_dim,))
+            if return_info:
+                r = rhs_flat[None] - st.apply_operator_flat(
+                    self.weights(a2), out.reshape(n, -1), self.grid_shape
+                ).reshape(n, -1)
+                rel = jnp.linalg.norm(r, axis=-1) / jnp.linalg.norm(rhs_flat)
+                info = solvers.PCGInfo(iterations=jnp.int32(0),
+                                       relative_residual=rel)
         else:
             raise ValueError(f"Unknown solve method {method!r}")
-        return out[0] if squeeze else out
+        out = out[0] if squeeze else out
+        if return_info:
+            return out, info
+        return out
 
     def generate_solutions(self, a2try: jnp.ndarray, **kw) -> jnp.ndarray:
         """Reference-named alias of :meth:`solve` (SolutionsManagers.py:64-68)."""
