@@ -89,3 +89,37 @@ def test_moderate_contrast_keeps_fast_path():
     ref = oracle.solve(a[0])
     rel = np.max(np.abs(u[0] - ref)) / np.max(np.abs(ref))
     assert rel < 1e-9, rel
+
+
+def test_experiment_driver_with_interior_groups(tmp_path):
+    """End-to-end experiment with a diagonal (interior) high-contrast group —
+    the configuration class that exposed the cluster bug."""
+    from romhighcontrast_tpu.experiments.driver import experiment
+    from romhighcontrast_tpu.rom.builders import GreedyBuilder, RandomBuilder
+
+    res = experiment(
+        name="diag",
+        reduced_basis_builders=[RandomBuilder(False), GreedyBuilder()],
+        mesh_discretization_per_dim=4,
+        diff_coef_refinement=3,
+        vn_max_dim=3,
+        num_measurements=10,
+        blocks_geometry=(4, 4),
+        high_contrast_blocks=[[(0, 0), (1, 1), (2, 2), (3, 3)]],
+        max_num_samples_offline=16,
+        seed=0,
+        verbose=False,
+        results_dir=tmp_path,
+    )
+    sols = res.store["solutions"]
+    assert np.all(np.isfinite(sols))
+    # residual sanity on the snapshots themselves
+    r = np.asarray(
+        res.space.apply(jnp.asarray(res.a), jnp.asarray(sols))
+        - np.asarray(res.space.load)[None]
+    )
+    rel = np.linalg.norm(r, axis=1) / np.linalg.norm(np.asarray(res.space.load))
+    assert rel.max() < 1e-3, rel.max()
+    errs = res.store["Greedy galerkin"]["errors"]
+    for n in ("1", "2", "3"):
+        assert np.all(np.isfinite(errs[n]["forward_modeling"]))
