@@ -116,24 +116,26 @@ def has_interior_cluster(a, threshold: float = STIFF_THRESHOLD) -> bool:
 
 
 def segment_sum(labels: jnp.ndarray, r: jnp.ndarray, k: int) -> jnp.ndarray:
-    """``X^T r``: per-cluster sums, ``(b, k)`` (cluster c = label c+1)."""
-    b = labels.shape[0]
-    flat_r = r.reshape(b, -1)
-    flat_l = labels.reshape(b, -1)
-    out = jnp.zeros((b, k + 1), r.dtype)
-    bi = jnp.broadcast_to(jnp.arange(b)[:, None], flat_l.shape)
-    out = out.at[bi, flat_l].add(flat_r)
-    return out[:, 1:]
+    """``X^T r``: per-cluster sums, ``(b, k)`` (cluster c = label c+1).
+
+    Implemented as k masked reductions (a one-hot contraction) rather than a
+    scatter-add: large batched scatters in emulated f64 fault the TPU
+    runtime (measured ``UNAVAILABLE: TPU device error`` at the paper scale),
+    and masked sums fuse well anyway."""
+    onehot = (
+        labels[..., None] == jnp.arange(1, k + 1, dtype=labels.dtype)
+    ).astype(r.dtype)
+    return jnp.einsum("...ijc,...ij->...c", onehot, r)
 
 
 def expand(labels: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """``X y``: scatter per-cluster values back onto the grid, ``(b, nr, nc)``."""
-    b, k = y.shape
-    padded = jnp.concatenate([jnp.zeros((b, 1), y.dtype), y], axis=1)
-    bi = jnp.broadcast_to(
-        jnp.arange(b)[:, None, None], labels.shape
-    )
-    return padded[bi, labels]
+    """``X y``: per-cluster values back onto the grid, ``(b, nr, nc)``
+    (one-hot contraction; see segment_sum for why not gather)."""
+    k = y.shape[-1]
+    onehot = (
+        labels[..., None] == jnp.arange(1, k + 1, dtype=labels.dtype)
+    ).astype(y.dtype)
+    return jnp.einsum("...ijc,...c->...ij", onehot, y)
 
 
 def cluster_gram_chol(w, labels: jnp.ndarray, k: int):
