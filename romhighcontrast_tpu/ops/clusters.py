@@ -118,24 +118,26 @@ def has_interior_cluster(a, threshold: float = STIFF_THRESHOLD) -> bool:
 def segment_sum(labels: jnp.ndarray, r: jnp.ndarray, k: int) -> jnp.ndarray:
     """``X^T r``: per-cluster sums, ``(b, k)`` (cluster c = label c+1).
 
-    Implemented as k masked reductions (a one-hot contraction) rather than a
-    scatter-add: large batched scatters in emulated f64 fault the TPU
-    runtime (measured ``UNAVAILABLE: TPU device error`` at the paper scale),
-    and masked sums fuse well anyway."""
-    onehot = (
-        labels[..., None] == jnp.arange(1, k + 1, dtype=labels.dtype)
-    ).astype(r.dtype)
-    return jnp.einsum("...ijc,...ij->...c", onehot, r)
+    Implemented as k fused masked reductions.  Neither a batched scatter-add
+    nor a 4D one-hot einsum survives on the TPU at the paper scale in
+    emulated f64 (both measured to fault the runtime with
+    ``UNAVAILABLE: TPU device error``); per-cluster masked sums keep every
+    intermediate at the (b, nr, nc) working-set size."""
+    cols = [
+        jnp.sum(jnp.where(labels == c, r, 0.0), axis=(-2, -1))
+        for c in range(1, k + 1)
+    ]
+    return jnp.stack(cols, axis=-1)
 
 
 def expand(labels: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """``X y``: per-cluster values back onto the grid, ``(b, nr, nc)``
-    (one-hot contraction; see segment_sum for why not gather)."""
+    (k masked accumulations; see segment_sum for why not gather/one-hot)."""
     k = y.shape[-1]
-    onehot = (
-        labels[..., None] == jnp.arange(1, k + 1, dtype=labels.dtype)
-    ).astype(y.dtype)
-    return jnp.einsum("...ijc,...c->...ij", onehot, y)
+    out = jnp.zeros(labels.shape, y.dtype)
+    for c in range(1, k + 1):
+        out = out + jnp.where(labels == c, y[..., c - 1, None, None], 0.0)
+    return out
 
 
 def cluster_gram_chol(w, labels: jnp.ndarray, k: int):
