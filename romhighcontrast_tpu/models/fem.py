@@ -233,14 +233,24 @@ class FemSpace:
                         w, rhs_grid, tol=tol, inner=inner
                     )
                 else:
-                    labels = cl.cluster_labels(
-                        a.reshape((-1,) + a.shape[-2:]), self.N
-                    )
                     nrb, ncb = self.blocks_geometry
+                    try:
+                        # compact host labels: k_actual masked passes
+                        # (typically 1-4) instead of the nrb*ncb bound
+                        lab_np, kmax = cl.cluster_labels_host(
+                            np.asarray(a), self.N
+                        )
+                        labels = jnp.asarray(lab_np)
+                        k = max(kmax, 1)
+                    except Exception:  # traced coefficients
+                        labels = cl.cluster_labels(
+                            a.reshape((-1,) + a.shape[-2:]), self.N
+                        )
+                        k = nrb * ncb
                     x, info = solvers.solve_pcg_deflated(
                         w, rhs_grid,
                         cluster_labels=labels.reshape(batch + self.grid_shape),
-                        n_clusters=nrb * ncb,
+                        n_clusters=k,
                         tol=tol, maxiter=maxiter,
                     )
             else:

@@ -81,6 +81,46 @@ def cluster_labels(a: jnp.ndarray, N: int, threshold: float = STIFF_THRESHOLD
     return v.astype(jnp.int32)
 
 
+def cluster_labels_host(a, N: int, threshold: float = STIFF_THRESHOLD):
+    """Host-side (scipy) variant of :func:`cluster_labels` with COMPACT label
+    values: returns ``(labels (b, nri, nci) int32, k_max)`` where labels take
+    values ``1..k_max`` per sample and boundary-touching components are
+    dropped.  Compact values let the solver run ``k_max`` masked passes
+    (typically 1-4) instead of the static ``nrb*ncb`` bound."""
+    import numpy as np
+    from scipy import ndimage
+
+    a = np.asarray(a)
+    a = a.reshape((-1,) + a.shape[-2:])
+    b, nrb, ncb = a.shape
+    nri, nci = nrb * N - 1, ncb * N - 1
+    labels = np.zeros((b, nri, nci), np.int32)
+    kmax = 0
+    for i in range(b):
+        stiff = a[i] >= threshold
+        lab, ncomp = ndimage.label(stiff)
+        nxt = 0
+        out = np.zeros_like(lab)
+        for c in range(1, ncomp + 1):
+            comp = lab == c
+            touches = (
+                comp[0, :].any() or comp[-1, :].any()
+                or comp[:, 0].any() or comp[:, -1].any()
+            )
+            if not touches:
+                nxt += 1
+                out[comp] = nxt
+        kmax = max(kmax, nxt)
+        if nxt == 0:
+            continue
+        cell = np.kron(out, np.ones((N, N), np.int32))
+        labels[i] = np.maximum(
+            np.maximum(cell[:-1, :-1], cell[1:, :-1]),
+            np.maximum(cell[:-1, 1:], cell[1:, 1:]),
+        )
+    return labels, kmax
+
+
 def has_interior_cluster(a, threshold: float = STIFF_THRESHOLD) -> bool:
     """Host-side check: does any sample have a stiff component that does not
     touch the domain boundary?  (Routing hint: such batches need the deflated
