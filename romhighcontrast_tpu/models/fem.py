@@ -174,8 +174,10 @@ class FemSpace:
 
         * ``"mixed"`` (default) — f32 CG on the Jacobi-symmetrized system
           inside f64 iterative refinement; f64-accurate at any contrast.
-        * ``"pallas"`` — same, with the fused VMEM-resident Pallas inner CG
-          (fastest on TPU; interpret mode on CPU).
+        * ``"pallas"`` — same, with the fused multi-sample VMEM-resident
+          Pallas inner CG (fastest on TPU; interpret mode on CPU); blocks of
+          samples are difficulty-sorted between refinement rounds.
+        * ``"pallas_v1"`` — the legacy one-sample-per-grid-step fused kernel.
         * ``"pcg"`` — pure-f64 Jacobi PCG (alias ``"lsqsparse"``).
         * ``"cholesky"`` — batched dense Cholesky (alias ``"lsq"``).
         """
@@ -195,14 +197,17 @@ class FemSpace:
         batch = a.shape[:-2]
         rhs_flat = self.load if rhs is None else jnp.asarray(rhs, self.dtype)
 
-        if method in ("pcg", "lsqsparse", "cg", "pcg_mixed", "mixed", "pallas"):
+        if method in ("pcg", "lsqsparse", "cg", "pcg_mixed", "mixed", "pallas",
+                      "pallas_v1"):
             w = self.weights(a)
             rhs_grid = jnp.broadcast_to(
                 rhs_flat.reshape((1,) * len(batch) + self.grid_shape),
                 batch + self.grid_shape,
             )
-            if method in ("pcg_mixed", "mixed", "pallas"):
-                inner = "pallas" if method == "pallas" else "xla"
+            if method in ("pcg_mixed", "mixed", "pallas", "pallas_v1"):
+                inner = {"pallas": "pallas_v2", "pallas_v1": "pallas"}.get(
+                    method, "xla"
+                )
                 # Interior stiff-block components carry 1/contrast near-null
                 # modes unresolvable in f32 (measured: silent garbage without
                 # treatment).  When present — or unknown because `a` is
@@ -324,7 +329,7 @@ class FemSpace:
             self.load.reshape((1,) + self.grid_shape),
             (a2.shape[0],) + self.grid_shape,
         )
-        inner = "pallas" if method == "pallas" else "xla"
+        inner = "pallas_v2" if method == "pallas" else "xla"
         x, _ = solvers.solve_pcg_mixed(
             w, rhs_grid, tol=tol, inner=inner,
             x0=x0.reshape((-1,) + self.grid_shape),

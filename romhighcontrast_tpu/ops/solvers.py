@@ -34,7 +34,16 @@ from romhighcontrast_tpu.ops import stencil as st
 
 
 class PCGInfo(NamedTuple):
-    iterations: jnp.ndarray  # scalar int, total iterations run
+    """Solver diagnostics.
+
+    iterations: total inner iterations — per-sample ``(batch,)`` i32 on the
+      ``pallas_v2`` path (the fused kernel emits real counts), a scalar total
+      on the XLA paths, and the scalar sentinel ``-1`` on the legacy
+      single-sample pallas path (whose per-sample counts stay in-kernel).
+    relative_residual: (batch,) final ``||b - K x|| / ||b||``.
+    """
+
+    iterations: jnp.ndarray
     relative_residual: jnp.ndarray  # (batch,) final ||b - K x|| / ||b||
 
 
@@ -284,6 +293,14 @@ def solve_pcg_mixed(
     """Mixed-precision solve: float32 CG on the Jacobi-symmetrized system
     inside float64 iterative refinement.
 
+    ``inner`` selects the f32 CG implementation:
+
+    * ``"pallas_v2"`` — the fused multi-sample VMEM-resident kernel
+      (fastest; emits real per-sample iteration counts, which also drive
+      difficulty-sorted block packing between rounds).
+    * ``"pallas"`` — the legacy single-sample fused kernel.
+    * ``"xla"`` — plain XLA while_loop (portable reference).
+
     Why it is exact enough: ``K~ = D^{-1/2} K D^{-1/2}`` has unit diagonal
     and O(1) entries for any contrast, so its f32 matvec is accurate to
     ~1e-7 relative and each refinement round gains ``inner_tol`` digits on
@@ -319,41 +336,73 @@ def solve_pcg_mixed(
     def true_resid(x):
         return b - st.apply_operator(w, x)
 
+    # Stall detection (all paths): a refinement round that fails to improve
+    # any still-unconverged sample's residual energy by at least 4x means
+    # those samples sit at their precision floor (f64 roundoff, or eps*kappa
+    # for near-singular systems) — further rounds are pure waste.  Measured:
+    # at tol=1e-11 a ~10% straggler tail floors at ~1.6e-11 and previously
+    # burned every remaining round of the max_rounds budget.
     def cond(state):
-        _, r, rounds, _ = state
+        _, r, rounds, _, _, prev_rr = state
         rr = jnp.sum(r * r, axis=(-2, -1))
-        return jnp.logical_and(jnp.any(rr > tol2), rounds < max_rounds)
+        unconv = rr > tol2
+        improving = jnp.any(jnp.logical_and(unconv, rr < 0.25 * prev_rr))
+        return jnp.logical_and(
+            jnp.logical_and(jnp.any(unconv), improving), rounds < max_rounds
+        )
 
-    if inner in ("pallas", "pallas_ms"):
+    batch = diag.shape[:-2]
+    grid_shape = diag.shape[-2:]
+    nbatch = 1
+    for d in batch:
+        nbatch *= d
+    interpret = jax.default_backend() == "cpu"
+
+    if inner == "pallas_v2":
+        from romhighcontrast_tpu.ops.pallas_cg_v2 import cg_symmetrized_pallas_v2
+
+        wt3 = st.StencilCoefficients(
+            *(jnp.broadcast_to(v, batch + grid_shape)
+              .reshape((-1,) + grid_shape) for v in wt32)
+        )
+
+        def inner_solve(rt, sort_key):
+            # The fused kernel runs blocks of samples to the max iteration
+            # count of the block; order samples by difficulty so blocks are
+            # homogeneous (keys: static conditioning proxy on round one,
+            # the previous round's real per-sample counts afterwards).
+            order = jnp.argsort(sort_key)
+            inv = jnp.argsort(order)
+            rt3 = rt.reshape((-1,) + grid_shape)[order]
+            wts = st.StencilCoefficients(*(v[order] for v in wt3))
+            x3, its = cg_symmetrized_pallas_v2(
+                wts, rt3, tol=inner_tol, maxiter=maxiter_inner,
+                interpret=interpret,
+            )
+            return (x3[inv].reshape(batch + grid_shape),
+                    its[inv].reshape(batch))
+
+    elif inner == "pallas":
         from romhighcontrast_tpu.ops.pallas_cg import cg_symmetrized_pallas
-        from romhighcontrast_tpu.ops.pallas_cg_ms import cg_symmetrized_pallas_ms
 
-        interpret = jax.default_backend() == "cpu"
-        batch = diag.shape[:-2]
-        grid_shape = diag.shape[-2:]
-
-        def inner_solve(rt):
+        def inner_solve(rt, sort_key):
             wt3 = st.StencilCoefficients(
                 *(v.reshape((-1,) + grid_shape) for v in wt32)
             )
             rt3 = rt.reshape((-1,) + grid_shape)
-            if inner == "pallas_ms":
-                x3 = cg_symmetrized_pallas_ms(
-                    wt3, rt3, tol=inner_tol, maxiter=maxiter_inner,
-                    interpret=interpret,
-                )
-            else:
-                x3 = cg_symmetrized_pallas(
-                    wt3, rt3, tol=inner_tol, maxiter=maxiter_inner,
-                    interpret=interpret, stag_window=stag_window,
-                )
-            # per-sample iteration counts stay on-chip in the fused kernel
-            return x3.reshape(batch + grid_shape), jnp.int32(maxiter_inner)
+            x3 = cg_symmetrized_pallas(
+                wt3, rt3, tol=inner_tol, maxiter=maxiter_inner,
+                interpret=interpret, stag_window=stag_window,
+            )
+            # per-sample iteration counts stay on-chip in this kernel
+            return x3.reshape(batch + grid_shape), None
 
     else:
 
-        def inner_solve(rt):
-            return _cg_unit_diag(wt32, rt, inner_tol, maxiter_inner, stag_window)
+        def inner_solve(rt, sort_key):
+            x, it = _cg_unit_diag(wt32, rt, inner_tol, maxiter_inner,
+                                  stag_window)
+            return x, it
 
     use_clusters = cluster_labels is not None and n_clusters > 0
     if use_clusters:
@@ -362,7 +411,8 @@ def solve_pcg_mixed(
         Gchol = cl.cluster_gram_chol(w, cluster_labels, n_clusters)
 
     def body(state):
-        x, r, rounds, iters = state
+        x, r, rounds, iters, sort_key, _ = state
+        prev_rr = jnp.sum(r * r, axis=(-2, -1))
         if use_clusters:
             # exact f64 rank-k solve over the stiff-cluster indicators: the
             # f32 inner CG's error in these near-null modes is amplified by
@@ -376,7 +426,7 @@ def solve_pcg_mixed(
         rr = jnp.sum(r * r, axis=(-2, -1))
         unconverged = (rr > tol2)[..., None, None]
         rt = jnp.where(unconverged, s * r, 0.0).astype(inner_dtype)
-        dt, it = inner_solve(rt)
+        dt, it = inner_solve(rt, sort_key)
         x = x + s * dt.astype(b.dtype)
         r = true_resid(x)
         if use_clusters:
@@ -384,7 +434,14 @@ def solve_pcg_mixed(
             # reflect the cluster modes cleaned after the last inner solve
             x = x + cl.coarse_correct(w, cluster_labels, Gchol, r)
             r = true_resid(x)
-        return x, r, rounds + 1, iters + it
+        if inner == "pallas_v2":
+            iters = iters + it.astype(jnp.int32)
+            # real counts from this round are the best difficulty predictor
+            # for the next round's block packing
+            sort_key = it.astype(jnp.float32).reshape(-1)
+        elif it is not None:
+            iters = iters + it
+        return x, r, rounds + 1, iters, sort_key, prev_rr
 
     if x0 is None:
         x = jnp.zeros_like(b)
@@ -394,8 +451,21 @@ def solve_pcg_mixed(
         # ROM to accelerate the FOM"): rounds start from its residual
         x = jnp.broadcast_to(jnp.asarray(x0, b.dtype), b.shape)
         r = true_resid(x)
-    x, r, rounds, iters = lax.while_loop(
-        cond, body, (x, r, jnp.int32(0), jnp.int32(0))
+    if inner == "pallas_v2":
+        iters0 = jnp.zeros(batch, jnp.int32)
+        # round-one difficulty proxy: iteration counts anti-correlate with
+        # the mean log diagonal (measured corr -0.7 on the bench grid)
+        key0 = (-jnp.mean(jnp.log(diag), axis=(-2, -1))
+                .reshape(-1).astype(jnp.float32))
+    elif inner == "pallas":
+        iters0 = jnp.int32(-1)  # sentinel: counts stay in-kernel
+        key0 = jnp.float32(0)
+    else:
+        iters0 = jnp.int32(0)
+        key0 = jnp.float32(0)
+    prev_rr0 = jnp.full(batch, jnp.inf, b.dtype)
+    x, r, rounds, iters, _, _ = lax.while_loop(
+        cond, body, (x, r, jnp.int32(0), iters0, key0, prev_rr0)
     )
     rr = jnp.sum(r * r, axis=(-2, -1))
     return x, PCGInfo(iterations=iters, relative_residual=jnp.sqrt(rr / safe_b))

@@ -52,7 +52,7 @@ def test_symmetrized_weights_unit_diag_and_symmetry():
     np.testing.assert_allclose(np.asarray(lhs), rhs, rtol=1e-10, atol=1e-10)
 
 
-@pytest.mark.parametrize("inner", ["xla", "pallas"])
+@pytest.mark.parametrize("inner", ["xla", "pallas", "pallas_v2"])
 def test_mixed_precision_reaches_f64_accuracy(inner, problem):
     space, a, refs = problem
     w = space.weights(a)
@@ -80,16 +80,61 @@ def test_mixed_masks_converged_samples(problem):
     assert (res < 1e-10).all()
 
 
-def test_pallas_interpret_matches_xla(problem):
+@pytest.mark.parametrize("inner", ["pallas", "pallas_v2"])
+def test_pallas_interpret_matches_xla(inner, problem):
     space, a, refs = problem
     w = space.weights(a)
     rhs = jnp.broadcast_to(
         space.load.reshape(space.grid_shape), a.shape[:1] + space.grid_shape
     )
-    xp, _ = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="pallas")
+    xp, _ = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner=inner)
     xx, _ = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="xla")
     np.testing.assert_allclose(np.asarray(xp), np.asarray(xx), rtol=1e-7,
                                atol=1e-12)
+
+
+def test_iteration_counts_are_honest(problem):
+    """The fused v2 kernel must report real per-sample iteration counts;
+    the legacy single-sample kernel reports the -1 sentinel (its counts
+    stay in-kernel)."""
+    space, a, refs = problem
+    w = space.weights(a)
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), a.shape[:1] + space.grid_shape
+    )
+    _, info = solvers.solve_pcg_mixed(
+        w, rhs, tol=1e-11, inner="pallas_v2", maxiter_inner=900, max_rounds=12
+    )
+    its = np.asarray(info.iterations)
+    assert its.shape == (len(a),)
+    assert (its > 0).all()
+    assert (its < 900 * 12).all()
+    # the easy sample (a == 1) must need fewer iterations than the stiff ones
+    assert its[2] <= its.max()
+    _, info1 = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="pallas")
+    assert int(info1.iterations) == -1
+
+
+def test_stall_exit_stops_floored_refinement():
+    """A tolerance below the f64 roundoff floor must exit after the residual
+    stops improving instead of burning the whole max_rounds budget."""
+    space = FemSpace((2, 2), 6)
+    a = np.ones((1, 2, 2))
+    a[0, 0, 0] = INFINIT_A
+    w = space.weights(a)
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (1,) + space.grid_shape
+    )
+    # tol=0 can never be met; without stall detection iterations would be
+    # ~max_rounds * (converged samples re-run at their floor)
+    _, info = solvers.solve_pcg_mixed(
+        w, rhs, tol=1e-30, inner="pallas_v2", max_rounds=40,
+        maxiter_inner=600,
+    )
+    its = np.asarray(info.iterations)
+    assert (its < 40 * 600).all()
+    # and the result is still at the f64 floor
+    assert float(info.relative_residual.max()) < 1e-9
 
 
 def test_zero_rhs_batch_is_stable():
