@@ -1,41 +1,50 @@
-"""Lean multi-sample fused Pallas CG kernel (v2 — the default fast path).
+"""Lean multi-sample fused Pallas kernel: Chebyshev-preconditioned CG on the
+Jacobi-symmetrized stencil system (the default fast path).
 
 Replaces the round-1 kernels on the mixed-precision inner-solve path
 (reference equivalent being replaced: the per-parameter scipy solves at
-/root/reference/src/lib/SolutionsManagers.py:17-40,64-68):
+/root/reference/src/lib/SolutionsManagers.py:17-40,64-68).  Design notes,
+each measured on TPU v5e at the paper config (dim 6241, 1000 samples):
 
-* ``pallas_cg`` ran one sample per grid step on (80, 128) operands — each
-  VPU instruction touched only 10 vector registers, so per-instruction
-  overhead dominated (measured 546 ns/sample-iteration at the paper config).
-* ``pallas_cg_ms`` (removed; this kernel is its tested successor) stacked
-  samples along sublanes but masked convergence with
-  full-array row selects and three MXU broadcasts per iteration (measured
-  404 ns/sample-iteration).
+* **Sublane stacking.**  ``BS`` samples of ``H`` rows each form one
+  ``(BS*H, W)`` VMEM-resident block; a one-sample-per-grid-step kernel leaves
+  the VPU issue-bound on tiny operands (546 -> 356 ns/sample-iteration).
+  Correctness of the stacked neighbor rolls: each sample's rows end in at
+  least one zero-padding row and the North/South edge weights vanish on
+  sample boundary rows, so circular-roll leakage between stacked samples is
+  multiplied by zero — the same induction as the domain-boundary padding.
+* **Scalar-level convergence freezing.**  CG freezing of converged samples
+  only needs the *scalars* masked — ``alpha_k = beta_k = 0`` makes
+  ``x_k, r_k`` exact fixed points and keeps ``p_k`` bounded — so no
+  full-array select passes are spent on masking.
+* **MXU segment reductions.**  Per-sample dot products as ``S @ (u*v)``
+  (a (BS, rows) indicator matmul) + a small lane reduce; per-row broadcasts
+  as ``S^T @ scalars``.
+* **Chebyshev polynomial preconditioning.**  Each PCG iteration applies
+  ``z = p_deg(K~) r`` (a fixed-coefficient Chebyshev iteration for
+  ``K~ z = r`` on the eigenvalue window ``[lmin, lmax]``).  Per outer
+  iteration that is ``deg + 1`` matvecs but only ONE set of dots/broadcasts/
+  scalar bookkeeping, so the fixed per-iteration overhead (measured ~40% of
+  a plain-CG iteration) amortizes across the polynomial degree.  CG's
+  optimal-polynomial property means total matvecs stay ~constant (217 plain
+  vs 234 at deg=12) while overhead collapses: 0.088 s -> 0.045 s for the
+  1000-sample inner solve.  Eigenvalue window: ``lmax = 2`` is the Gershgorin
+  bound for the unit-diagonal symmetrized operator at any contrast;
+  ``lmin ~ 8 * (pi h)^2 / 2`` intentionally EXCLUDES the lowest smooth modes
+  (and any contrast-induced outliers) — the wrapping CG absorbs the handful
+  of out-of-window modes at roughly one iteration each, which measured
+  faster than widening the window (a window reaching the true lambda_min
+  needs deg ~ 1/h to pay off).
 
-This kernel keeps the sublane stacking (``BS`` samples of ``H`` rows each in
-one ``(BS*H, W)`` VMEM-resident block) and removes every full-array masking
-pass: CG freezing of converged samples only needs the *scalars* masked —
-``alpha_k = beta_k = 0`` makes ``x_k, r_k`` exact fixed points and keeps
-``p_k = r_k`` bounded — so convergence control costs a few (BS, 1) lane ops
-and nothing on the vectors.  Per iteration the vector work is exactly:
-
-  matvec (4 rolls + 4 fnma), two dot rows (2 mul + 2 lane-reduce), two
-  segment matmuls (S @ rowsum, MXU), two row broadcasts (S^T @ scalar),
-  and 6 axpy-style passes for x, r, p.
-
-Correctness of the stacked neighbor rolls: each sample's ``H`` rows end in at
-least one zero-padding row and the North/South edge weights vanish on sample
-boundary rows, so circular-roll leakage between stacked samples is multiplied
-by zero — the same induction as the single-sample kernel's domain padding.
-
-The kernel also emits the real per-sample iteration count (the fix for
-``PCGInfo.iterations`` on the fused path): a second ``(BS, 1)`` output
-accumulates ``active`` per iteration.
+The kernel emits the real per-sample outer-iteration count as a second
+``(BS, 1)`` output (so ``PCGInfo.iterations`` is honest on the fused path);
+multiply by ``deg + 1`` for matvec counts.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -46,8 +55,22 @@ from romhighcontrast_tpu.ops import stencil as st
 from romhighcontrast_tpu.ops.pallas_cg import _neighbor, _round_up
 
 
-def _cg_v2_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, x_ref, it_ref,
-                  *, tol2: float, maxiter: int, BS: int, H: int):
+def default_cheb_window(grid_shape: tuple[int, int]) -> tuple[float, float]:
+    """Default Chebyshev eigenvalue window for an ``(nr, nc)`` interior grid.
+
+    ``lmax = 2`` (Gershgorin, any contrast).  ``lmin`` sits ~8x above the
+    constant-coefficient lambda_min ``(pi h)^2 / 2``: the sweep at the paper
+    grid (79 x 79) found the optimum at 6e-3 with the exact lambda_min at
+    7.7e-4 — out-of-window modes are cheaper to leave to the outer CG.
+    """
+    n = max(grid_shape) + 1
+    lmin = 4.0 * (math.pi / n) ** 2
+    return min(lmin, 0.5), 2.0
+
+
+def _pcg_cheb_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, x_ref, it_ref,
+                     *, tol2: float, maxiter: int, BS: int, H: int,
+                     deg: int, lmin: float, lmax: float):
     f32 = jnp.float32
     wE = wE_ref[0]
     wW = wW_ref[0]
@@ -57,8 +80,7 @@ def _cg_v2_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, x_ref, it_ref,
     rows = wE.shape[0]  # BS * H
 
     # sample-segment indicator S (BS, rows): S[k, i] = 1 iff row i belongs to
-    # sample k.  Used for both the segment reduction (S @ rowsum) and the
-    # per-row broadcast (S^T @ scalars).
+    # sample k; used for segment reductions and per-row broadcasts
     sid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 1) // H
     kid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 0)
     S = (sid == kid).astype(f32)
@@ -74,14 +96,30 @@ def _cg_v2_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, x_ref, it_ref,
         )
 
     def dots(u, v):
-        # segment reduction on the MXU: S @ (u*v) -> (BS, W), then a small
-        # lane reduce.  Measured faster than lane-reducing the full (rows, W)
-        # product into the pathologically laid-out (rows, 1) shape.
-        part = jnp.dot(S, u * v, preferred_element_type=f32)  # (BS, W)
+        part = jnp.dot(S, u * v, preferred_element_type=f32)  # (BS, W) on MXU
         return jnp.sum(part, axis=1, keepdims=True)  # (BS, 1)
 
     def to_rows(c):  # (BS, 1) -> (rows, 1)
         return jnp.dot(S.T, c, preferred_element_type=f32)
+
+    theta = f32((lmax + lmin) / 2.0)
+    delta = f32((lmax - lmin) / 2.0)
+    sigma = float((lmax + lmin) / (lmax - lmin))
+
+    def precond(r):
+        # fixed-step Chebyshev iteration for K~ z = r from z = 0; a fixed
+        # linear SPD operator in r, hence a valid CG preconditioner
+        rho = f32(1.0 / sigma)
+        d = r / theta
+        z = d
+        for _ in range(deg - 1):
+            rho_new = f32(1.0) / (f32(2.0 * sigma) - rho)
+            d = (rho_new * rho) * d + (f32(2.0) * rho_new / delta) * (
+                r - matvec(z)
+            )
+            z = z + d
+            rho = rho_new
+        return z
 
     one = f32(1.0)
     zero = f32(0.0)
@@ -89,40 +127,46 @@ def _cg_v2_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, x_ref, it_ref,
     tol2bb = f32(tol2) * jnp.where(bb == 0, one, bb)
 
     def cond(state):
-        rr, it = state[3], state[4]
+        rr, it = state[4], state[5]
         keep = jnp.max(rr - tol2bb) > zero
         return jnp.logical_and(keep, it < maxiter)
 
     def body(state):
-        x, r, p, rz, it, counts = state
-        active = (rz > tol2bb).astype(f32)  # (BS, 1)
+        x, r, p, rz, rr, it, counts = state
+        active = (rr > tol2bb).astype(f32)  # (BS, 1)
         Kp = matvec(p)
         pKp = dots(p, Kp)
         # scalar-level freeze: alpha = beta = 0 for converged/broken samples
-        # keeps x, r fixed and p = r bounded — no vector masking needed
         alpha = active * jnp.where(pKp > 0, rz / jnp.where(pKp > 0, pKp, one),
                                    zero)
         ar = to_rows(alpha)
         x = x + ar * p
         r = r - ar * Kp
-        rz_new = dots(r, r)
-        rz_new = jnp.where(jnp.isfinite(rz_new), rz_new, zero)
-        beta = active * jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, one),
-                                  zero)
+        z = precond(r)
+        rz_new = dots(r, z)
+        rr_new = dots(r, r)
+        rr_new = jnp.where(jnp.isfinite(rr_new), rr_new, zero)
+        beta = active * jnp.where(rz != 0,
+                                  rz_new / jnp.where(rz != 0, rz, one), zero)
         br = to_rows(beta)
-        p = r + br * p
+        p = z + br * p
+        rr = jnp.where(active > 0, rr_new, rr)
         rz = jnp.where(active > 0, rz_new, rz)
-        return x, r, p, rz, it + 1, counts + active
+        return x, r, p, rz, rr, it + 1, counts + active
 
     x0 = jnp.zeros_like(b)
-    state = (x0, b, b, bb, jnp.int32(0), jnp.zeros((BS, 1), f32))
+    z0 = precond(b)
+    state = (x0, b, z0, dots(b, z0), bb, jnp.int32(0),
+             jnp.zeros((BS, 1), f32))
     out = jax.lax.while_loop(cond, body, state)
     x_ref[0] = out[0]
-    it_ref[0] = out[5].astype(jnp.int32)
+    it_ref[0] = out[6].astype(jnp.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tol", "maxiter", "block_size", "interpret")
+    jax.jit,
+    static_argnames=("tol", "maxiter", "block_size", "interpret", "deg",
+                     "lmin", "lmax"),
 )
 def cg_symmetrized_pallas_v2(
     wt: st.StencilCoefficients,
@@ -131,16 +175,22 @@ def cg_symmetrized_pallas_v2(
     maxiter: int = 900,
     block_size: int = 8,
     interpret: bool = False,
+    deg: int = 12,
+    lmin: float | None = None,
+    lmax: float = 2.0,
 ):
     """Solve the Jacobi-symmetrized system for a batch ``(B, nr, nc)`` (f32)
-    with ``block_size`` samples fused per grid step.
+    with ``block_size`` samples fused per grid step and a degree-``deg``
+    Chebyshev polynomial preconditioner on ``[lmin, lmax]``.
 
     Returns ``(x, iterations)`` with ``x`` of shape ``(B, nr, nc)`` and
-    ``iterations`` the real per-sample iteration counts, shape ``(B,)`` i32.
-    Samples whose rhs is exactly zero (pre-converged, e.g. masked by the
-    refinement loop) report 0 iterations.
+    ``iterations`` the real per-sample preconditioned-CG iteration counts,
+    shape ``(B,)`` i32 (0 for samples whose rhs is exactly zero — e.g.
+    pre-converged samples masked by the refinement loop).
     """
     B, nr, nc = b.shape
+    if lmin is None:
+        lmin = default_cheb_window((nr, nc))[0]
     H = _round_up(nr + 1, 8)  # >= one zero row between stacked samples
     W = _round_up(nc, 128)
     BS = block_size
@@ -165,7 +215,8 @@ def cg_symmetrized_pallas_v2(
     with jax.enable_x64(False):
         out, its = pl.pallas_call(
             functools.partial(
-                _cg_v2_kernel, tol2=tol * tol, maxiter=maxiter, BS=BS, H=H
+                _pcg_cheb_kernel, tol2=tol * tol, maxiter=maxiter, BS=BS,
+                H=H, deg=deg, lmin=float(lmin), lmax=float(lmax),
             ),
             grid=(BP // BS,),
             in_specs=[spec] * 5,
