@@ -1,8 +1,17 @@
 """Geometric multigrid V-cycle preconditioner for the stencil system.
 
-Experimental accelerator for the mixed-precision inner CG: plain CG on the
-Jacobi-symmetrized system needs ~45 iterations/decade at the paper mesh; a
-V-cycle preconditioner targets mesh-independent iteration counts.
+STATUS: measured and deliberately NOT wired into the public solve API.
+At the paper config with contrast 1e10, V-cycle-preconditioned CG needs 46
+iterations to 1e-4 (vs 207 for plain CG on the symmetrized system), but each
+V-cycle costs ~8 matvec-equivalents — a net ~2x slowdown; the standalone
+V-cycle iteration stalls outright (convergence factor ~0.99) because the
+coarse grids cannot represent the D^{1/2}-warped low modes of the scaled
+operator and 2x2 arithmetic cell averaging smears the contrast interfaces.
+The production fast path uses in-kernel Chebyshev polynomial preconditioning
+instead (ops/pallas_cg_v2.py); see docs/ROADMAP.md for the full measurement
+ledger.  Kept as a tested experiment (tests/test_multigrid.py) — at LOW
+contrast and fine meshes it behaves as textbook MG and may become relevant
+for future mesh-refinement studies.
 
 Design:
   * level hierarchy by 2x2 cell-coefficient averaging (exact inside blocks;

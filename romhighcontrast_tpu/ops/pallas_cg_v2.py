@@ -173,7 +173,7 @@ def cg_symmetrized_pallas_v2(
     b: jnp.ndarray,
     tol: float = 1e-4,
     maxiter: int = 900,
-    block_size: int = 8,
+    block_size: int | None = None,
     interpret: bool = False,
     deg: int = 12,
     lmin: float | None = None,
@@ -193,6 +193,15 @@ def cg_symmetrized_pallas_v2(
         lmin = default_cheb_window((nr, nc))[0]
     H = _round_up(nr + 1, 8)  # >= one zero row between stacked samples
     W = _round_up(nc, 128)
+    if block_size is None:
+        # stacking gain saturates at 8 on the paper grid; on larger grids
+        # shrink the block to fit the 16 MB scoped-VMEM budget.  Measured
+        # live footprint is ~26 (BS*H, W) f32 buffers (5 double-buffered
+        # inputs, double-buffered output, the CG carry, and the Chebyshev
+        # temporaries): 17.13 MB at BS=4, H=160, W=256.
+        block_size = 8
+        while block_size > 1 and 26 * block_size * H * W * 4 > 15 * 2**20:
+            block_size //= 2
     BS = block_size
     BP = _round_up(B, BS)
 
