@@ -112,7 +112,7 @@ def plot_results(name, reduced_basis_names, a_high_contrast, results_dir=None,
     HighContrast.py:268-359)."""
     import matplotlib.pylab as plt
 
-    from romhighcontrast_tpu.viz.vizutils import save_fig, plot_solutions_together
+    from romhighcontrast_tpu.viz.fields import field_gallery, figure_file
 
     base = results_path if results_dir is None else Path(results_dir)
     folder = base / f"HighContrast_{name}"
@@ -131,17 +131,16 @@ def plot_results(name, reduced_basis_names, a_high_contrast, results_dir=None,
 
     if a2show is not None and space is not None:
         sols = space.solve(a2show)
-        plot_solutions_together(space, diffusion_coefficients=None, solutions=sols,
-                                num_points_per_dim_to_plot=100, contour_levels=7,
-                                axes_xy_proportions=(6, 6))
-        plt.savefig(folder / f"{name}_TrueSolution.png")
-        plt.close()
+        fig, _ = field_gallery(space, sols, resolution=100, style="contour",
+                               levels=7, panel_size=6)
+        fig.savefig(folder / f"{name}_TrueSolution.png")
+        plt.close(fig)
 
     er = folder / "ErrorRates"
     er.mkdir(parents=True, exist_ok=True)
     for problem in TypeOfProblems._fields:
-        with save_fig(pathplot=er / f"{name}_{problem}_error_rates.png",
-                      axes_xy_proportions=FIGSIZE) as ax:
+        with figure_file(er / f"{name}_{problem}_error_rates.png",
+                         size=FIGSIZE) as (fig, ax):
             plot_rates_of_convergence(
                 ax, store, reduced_basis_names, problem,
                 color=lambda rbn, top: COLOR_DICT.get(rbn, "gray"),
@@ -214,7 +213,7 @@ def paper_plots(names, high_contrast_blocks_list, reduced_basis_names,
     import matplotlib.pylab as plt
     from matplotlib import cm
 
-    from romhighcontrast_tpu.viz.vizutils import save_fig
+    from romhighcontrast_tpu.viz.fields import figure_file
 
     base = results_path if results_dir is None else Path(results_dir)
     out = base / "paper_plots"
@@ -224,16 +223,16 @@ def paper_plots(names, high_contrast_blocks_list, reduced_basis_names,
         store = ExperimentStore(base / f"HighContrast_{exp_name}")
         if len(hc_blocks) == 1:
             for problem in ["forward_modeling", "projection"]:
-                with save_fig(out / f"{exp_name}_{problem}_error_rates.png",
-                              axes_xy_proportions=FIGSIZE) as ax:
+                with figure_file(out / f"{exp_name}_{problem}_error_rates.png",
+                                 size=FIGSIZE) as (fig, ax):
                     plot_rates_of_convergence(
                         ax, store, reduced_basis_names, problem,
                         color=lambda rbn, top: COLOR_DICT.get(rbn, "gray"),
                     )
         elif len(hc_blocks) == 2:
             greedy = [n for n in reduced_basis_names if "Greedy" in n]
-            with save_fig(out / f"{exp_name}_greedy_error_rates.png",
-                          axes_xy_proportions=FIGSIZE) as ax:
+            with figure_file(out / f"{exp_name}_greedy_error_rates.png",
+                             size=FIGSIZE) as (fig, ax):
                 plot_rates_of_convergence(
                     ax, store, greedy, ["forward_modeling", "projection"],
                     linestyle=lambda rbn, top: "solid" if top == "projection"
@@ -246,8 +245,8 @@ def paper_plots(names, high_contrast_blocks_list, reduced_basis_names,
 
     common = os.path.commonprefix(list(names))
     problem = "forward_modeling"
-    with save_fig(out / f"{common}_{problem}_dimensional_deterioration.png",
-                  axes_xy_proportions=FIGSIZE) as ax:
+    with figure_file(out / f"{common}_{problem}_dimensional_deterioration.png",
+                     size=FIGSIZE) as (fig, ax):
         for j, (exp_name, hc_blocks) in enumerate(
             zip(names, high_contrast_blocks_list)
         ):

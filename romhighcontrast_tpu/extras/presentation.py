@@ -23,7 +23,7 @@ import numpy as np
 
 from romhighcontrast_tpu.config import INFINIT_A, results_path
 from romhighcontrast_tpu.models.fem import FemSpace
-from romhighcontrast_tpu.viz.vizutils import plot_solutions_together, save_fig
+from romhighcontrast_tpu.viz.fields import field_gallery, figure_file
 
 
 def limit_solution_sequence(out_dir, blocks_geometry=(5, 5), N=8,
@@ -37,12 +37,10 @@ def limit_solution_sequence(out_dir, blocks_geometry=(5, 5), N=8,
     for i, t in enumerate(contrasts):
         a[i][hc_block] = t
     sols = space.solve(a)
-    plot_solutions_together(
-        space, diffusion_coefficients=None, solutions=sols, contour_levels=7,
-        titles=[f"a={t:.0e}" for t in contrasts],
-    )
-    plt.savefig(Path(out_dir) / "limit_solutions.png")
-    plt.close()
+    fig, _ = field_gallery(space, sols, style="contour", levels=7,
+                           labels=[f"a={t:.0e}" for t in contrasts])
+    fig.savefig(Path(out_dir) / "limit_solutions.png")
+    plt.close(fig)
     return {"figure": "limit_solutions.png", "contrasts": list(map(float, contrasts))}
 
 
@@ -57,10 +55,10 @@ def snapshot_family_on_curve(out_dir, N=10, n_points=9):
     a[:, 0, 0] = 1 / t  # contrast path toward infinity as t -> 0
     a[:, 1, 1] = 1 + 9 * t
     sols = space.solve(a)
-    plot_solutions_together(space, diffusion_coefficients=a, solutions=sols,
-                            contour_levels=7, titles=True)
-    plt.savefig(Path(out_dir) / "snapshot_family.png")
-    plt.close()
+    fig, _ = field_gallery(space, sols, style="contour", levels=7,
+                           labels=[f"a={np.round(ai, 2)}" for ai in a])
+    fig.savefig(Path(out_dir) / "snapshot_family.png")
+    plt.close(fig)
     return {"figure": "snapshot_family.png", "t": t.tolist()}
 
 
@@ -75,7 +73,7 @@ def measurement_barplot(out_dir, N=10, m=12, seed=3):
     rng = np.random.default_rng(seed)
     pts = rng.uniform(-0.9, 0.9, size=(m, 2))
     vals = np.asarray(space.evaluate_solutions(pts, sol[None]))[0]
-    with save_fig(Path(out_dir) / "measurements_bar.png") as ax:
+    with figure_file(Path(out_dir) / "measurements_bar.png") as (fig, ax):
         ax.bar(np.arange(m), vals)
         ax.set_xlabel("sensor")
         ax.set_ylabel("u(x_i)")
@@ -112,7 +110,7 @@ def pca_state_estimation_sweep(out_dir, N=10, n_train=60, frames=6, seed=7):
         space.h10_norm(est - np.asarray(sols)[test_idx])
         / space.h10_norm(np.asarray(sols)[test_idx])
     )
-    with save_fig(Path(out_dir) / "pca2_state_estimation.png") as ax:
+    with figure_file(Path(out_dir) / "pca2_state_estimation.png") as (fig, ax):
         ax.plot(1 / contrasts[test_idx], errs, "o-")
         ax.set_xlabel("1/contrast")
         ax.set_ylabel("relative H10 error (2-mode PCA SE)")

@@ -1,18 +1,19 @@
-"""Visualization utilities and interactive dashboards
-(reference: src/lib/VizUtils.py, src/notebooks/functions4notebooks.py)."""
+"""Visualization: field rendering built on a cached plotting-grid evaluation
+operator, plus interactive dashboards (capabilities of the reference's
+src/lib/VizUtils.py and src/notebooks/functions4notebooks.py)."""
 
-from romhighcontrast_tpu.viz.vizutils import (
-    save_fig,
-    squared_subplots,
-    plot_solution,
-    plot_solutions_together,
-    plot_approximate_solutions_together,
+from romhighcontrast_tpu.viz.fields import (
+    FieldGrid,
+    comparison_gallery,
+    field_gallery,
+    figure_file,
+    panel_grid,
 )
 
 __all__ = [
-    "save_fig",
-    "squared_subplots",
-    "plot_solution",
-    "plot_solutions_together",
-    "plot_approximate_solutions_together",
+    "FieldGrid",
+    "comparison_gallery",
+    "field_gallery",
+    "figure_file",
+    "panel_grid",
 ]

@@ -23,7 +23,7 @@ import itertools
 
 import numpy as np
 
-from romhighcontrast_tpu.viz.vizutils import plot_solutions_together
+from romhighcontrast_tpu.viz.fields import field_gallery
 
 ERROR_METRICS = {
     "L2": lambda x: float(np.mean(np.sqrt(np.mean(np.asarray(x) ** 2, axis=-1)))),
@@ -69,10 +69,11 @@ def visualize_intuition(sm, diffusion_contrast_lower, diffusion_contrast_upper,
     def show(**kwargs):
         a = np.array([list(kwargs.values())]).reshape((1,) + sm.blocks_geometry)
         sols = sm.solve(a[:, ::-1])
-        plot_solutions_together(
-            sm, diffusion_coefficients=a, solutions=sols,
-            num_points_per_dim_to_plot=num_points_per_dim_to_plot,
-            contour_levels=7, axes_xy_proportions=axes_xy_proportions,
+        field_gallery(
+            sm, sols,
+            labels=[f"a={np.round(ai, 2)}" for ai in a],
+            resolution=num_points_per_dim_to_plot, style="contour", levels=7,
+            panel_size=axes_xy_proportions[0],
         )
         plt.show()
 
@@ -246,13 +247,12 @@ def vizualize_approximations(sm, measurements_sampling_method_dict,
                 state_estimation_method
             ](measurement_points=measurement_points, measurements=meas,
               reduced_basis=basis, sm=sm))[0])
-        plot_solutions_together(
-            sm, None, np.vstack([solution] + [a[None] if a.ndim == 1 else a
-                                              for a in approx]),
-            num_points_per_dim_to_plot=num_points_per_dim_to_plot,
-            contour_levels=7, axes_xy_proportions=axes_xy_proportions,
-            titles=["True solution"] + list(rb_methods), colorbar=False,
-            measurement_points=measurement_points,
+        field_gallery(
+            sm, np.vstack([solution] + [a[None] if a.ndim == 1 else a
+                                        for a in approx]),
+            labels=["True solution"] + list(rb_methods),
+            resolution=num_points_per_dim_to_plot, style="contour", levels=7,
+            panel_size=axes_xy_proportions[0], sensors=measurement_points,
         )
         plt.show()
 

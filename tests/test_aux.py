@@ -103,3 +103,44 @@ def test_get_not_default_args_names():
         return a
 
     assert get_not_default_args_names(f) == ["a", "b"]
+
+
+def test_field_grid_rendering_and_galleries(tmp_path):
+    """FieldGrid is the evaluation operator on the plotting grid: rendered
+    values must match evaluate_solutions pointwise, and the gallery/
+    comparison figures must build headlessly."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from romhighcontrast_tpu.viz import (
+        FieldGrid, comparison_gallery, field_gallery, figure_file,
+    )
+
+    space = FemSpace((2, 2), 5)
+    a = np.ones((3, 2, 2))
+    a[:, 0, 1] = [1.0, 1e4, INFINIT_A]
+    sols = np.asarray(space.solve(a))
+
+    grid = FieldGrid(space, resolution=17)
+    fields = grid.render(sols)
+    assert fields.shape == (3, 17, 17)
+    # spot-check against direct evaluation at an interior grid point
+    pt = np.array([[grid.xs[5], grid.ys[9]]])
+    direct = np.asarray(space.evaluate_solutions(pt, sols))[:, 0]
+    np.testing.assert_allclose(fields[:, 9, 5], direct, rtol=1e-12)
+    # single-vector render squeezes the batch axis
+    assert grid.render(sols[0]).shape == (17, 17)
+
+    fig, axes = field_gallery(space, sols, labels=["a", "b", "c"],
+                              resolution=17, style="contour", levels=5)
+    assert len(axes) == 3
+    plt.close(fig)
+    fig, axes = comparison_gallery(space, sols[:2], sols[:2], resolution=17,
+                                   sensors=np.zeros((4, 2)))
+    assert axes.shape == (2, 2)
+    plt.close(fig)
+    with figure_file(tmp_path / "x") as (fig, ax):
+        ax.plot([0, 1], [0, 1])
+    assert (tmp_path / "x.png").exists()
