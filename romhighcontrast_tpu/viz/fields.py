@@ -36,7 +36,8 @@ class FieldGrid:
         self.xs = np.linspace(*space.x_domain, self.resolution)
         self.ys = np.linspace(*space.y_domain, self.resolution)
         X, Y = np.meshgrid(self.xs, self.ys)
-        self._points = np.stack([X.ravel(), Y.ravel()], axis=1)
+        #: (resolution^2, 2) evaluation points, row-major in y
+        self.points = np.stack([X.ravel(), Y.ravel()], axis=1)
         self.extent = (space.x_domain[0], space.x_domain[1],
                        space.y_domain[0], space.y_domain[1])
 
@@ -44,7 +45,7 @@ class FieldGrid:
         """Evaluate coefficient vector(s) ``(..., dim)`` on the grid;
         returns ``(..., resolution, resolution)`` (rows = y)."""
         u = np.atleast_2d(np.asarray(coefficients))
-        vals = np.asarray(self.space.evaluate_solutions(self._points, u))
+        vals = np.asarray(self.space.evaluate_solutions(self.points, u))
         out = vals.reshape(u.shape[:-1] + (self.resolution, self.resolution))
         return out if np.asarray(coefficients).ndim > 1 else out[0]
 
