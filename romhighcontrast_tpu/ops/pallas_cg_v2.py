@@ -68,6 +68,18 @@ def default_cheb_window(grid_shape: tuple[int, int]) -> tuple[float, float]:
     return min(lmin, 0.5), 2.0
 
 
+def auto_block_size(H: int, W: int) -> int:
+    """Samples per kernel block: stacking gain saturates at 8 on the paper
+    grid; larger grids shrink the block so the measured live footprint of
+    ~26 (BS*H, W) f32 buffers (5 double-buffered inputs, double-buffered
+    output, the CG carry, and the Chebyshev temporaries — 17.13 MB observed
+    at BS=4, H=160, W=256) fits the 16 MB scoped-VMEM budget."""
+    bs = 8
+    while bs > 1 and 26 * bs * H * W * 4 > 15 * 2**20:
+        bs //= 2
+    return bs
+
+
 def _pcg_cheb_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, x_ref, it_ref,
                      *, tol2: float, maxiter: int, BS: int, H: int,
                      deg: int, lmin: float, lmax: float):
@@ -194,14 +206,7 @@ def cg_symmetrized_pallas_v2(
     H = _round_up(nr + 1, 8)  # >= one zero row between stacked samples
     W = _round_up(nc, 128)
     if block_size is None:
-        # stacking gain saturates at 8 on the paper grid; on larger grids
-        # shrink the block to fit the 16 MB scoped-VMEM budget.  Measured
-        # live footprint is ~26 (BS*H, W) f32 buffers (5 double-buffered
-        # inputs, double-buffered output, the CG carry, and the Chebyshev
-        # temporaries): 17.13 MB at BS=4, H=160, W=256.
-        block_size = 8
-        while block_size > 1 and 26 * block_size * H * W * 4 > 15 * 2**20:
-            block_size //= 2
+        block_size = auto_block_size(H, W)
     BS = block_size
     BP = _round_up(B, BS)
 

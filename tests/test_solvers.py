@@ -161,3 +161,38 @@ def test_bootstrapped_solve_matches_plain(problem):
     u_cold = np.asarray(space.solve(a))
     rel = np.max(np.abs(u_boot - u_cold)) / np.max(np.abs(u_cold))
     assert rel < 1e-8
+
+
+def test_v2_kernel_sizing_helpers():
+    """VMEM-aware block sizing and the Chebyshev window defaults."""
+    from romhighcontrast_tpu.ops.pallas_cg_v2 import (
+        auto_block_size, default_cheb_window,
+    )
+
+    assert auto_block_size(80, 128) == 8      # paper grid: full stacking
+    assert auto_block_size(160, 256) == 2     # mesh 40: shrinks to fit VMEM
+    assert auto_block_size(256, 256) == 2     # mesh 64
+    assert auto_block_size(512, 512) == 1     # beyond: single-sample blocks
+    assert 26 * auto_block_size(160, 256) * 160 * 256 * 4 <= 15 * 2**20
+    lmin, lmax = default_cheb_window((79, 79))
+    assert lmax == 2.0 and 4e-3 < lmin < 8e-3
+    # tiny grids clamp rather than exceed the window
+    lmin_small, _ = default_cheb_window((3, 3))
+    assert lmin_small <= 0.5
+
+
+def test_split_batch_reports_per_sample_info():
+    """A batch mixing interior-cluster and clean samples must report
+    per-sample residuals and iteration counts from both sub-paths."""
+    space = FemSpace((3, 3), 6)
+    a = np.ones((3, 3, 3))
+    a[0, 1, 1] = INFINIT_A   # interior cluster -> deflated path
+    a[1, 0, 0] = INFINIT_A   # boundary block -> fast path
+    x, info = space.solve(a, return_info=True)
+    assert info.relative_residual.shape == (3,)
+    assert info.iterations.shape == (3,)
+    assert np.all(np.asarray(info.iterations) > 0)
+    # clean samples converge tightly; the cluster sample is eps*kappa class
+    res = np.asarray(info.relative_residual)
+    assert res[1] < 1e-9 and res[2] < 1e-9
+    assert res[0] < 1e-2
