@@ -18,9 +18,14 @@
 // Shape/dtype metadata stays in the Python-side JSON manifest — this layer
 // moves bytes.
 
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
 #include <vector>
 
 #include <zlib.h>
@@ -46,13 +51,123 @@ bool read_all(FILE* f, void* p, size_t n) {
   return fread(p, 1, n, f) == n;
 }
 
+int save_impl(const char* path, const uint8_t* data, uint64_t nbytes,
+              int level);
+
+// ------------------------- async writer queue ---------------------------- //
+//
+// Checkpoint compression runs on the single host core and previously
+// blocked the device loop for seconds per dump.  rhc_save_async copies the
+// payload and returns immediately; one background thread drains the queue,
+// writing each file to "<path>.tmp" and renaming on success so a crash
+// mid-write never leaves a plausible-but-corrupt file (the Python store's
+// index.json is the commit point and is only written after rhc_flush).
+
+struct Job {
+  std::string path;
+  std::vector<uint8_t> data;
+  int level;
+};
+
+// Shared state of the writer queue.  INTENTIONALLY LEAKED (heap-allocated,
+// never freed): the worker is a detached thread that blocks on the condition
+// variable forever; destroying a pthread condvar/mutex with a waiter during
+// static destruction is undefined behavior and was measured to hang the
+// process at exit.  Leaking ~100 idle bytes lets _exit terminate the thread
+// cleanly.
+struct WriterState {
+  std::mutex mu;
+  std::condition_variable cv;
+  std::deque<Job> queue;
+  bool started = false;
+  int inflight = 0;  // queued + currently writing
+  int worst_rc = 0;  // first failure code since the last flush
+};
+
+WriterState& W() {
+  static WriterState* s = new WriterState;
+  return *s;
+}
+
+void worker_loop() {
+  WriterState& w = W();
+  for (;;) {
+    Job job;
+    {
+      std::unique_lock<std::mutex> lk(w.mu);
+      w.cv.wait(lk, [&] { return !w.queue.empty(); });
+      job = std::move(w.queue.front());
+      w.queue.pop_front();
+    }
+    std::string tmp = job.path + ".tmp";
+    int rc = save_impl(tmp.c_str(),
+                       job.data.empty() ? nullptr : job.data.data(),
+                       job.data.size(), job.level);
+    if (rc == 0 && std::rename(tmp.c_str(), job.path.c_str()) != 0) rc = 6;
+    {
+      std::lock_guard<std::mutex> lk(w.mu);
+      if (rc != 0 && w.worst_rc == 0) w.worst_rc = rc;
+      --w.inflight;
+    }
+    w.cv.notify_all();
+  }
+}
+
 }  // namespace
 
 extern "C" {
 
+// Enqueue an asynchronous save (payload copied); returns 0. Completion and
+// errors are observed through rhc_flush.
+int rhc_save_async(const char* path, const uint8_t* data, uint64_t nbytes,
+                   int level) {
+  WriterState& w = W();
+  Job job;
+  job.path = path;
+  if (nbytes) job.data.assign(data, data + nbytes);
+  job.level = level;
+  {
+    std::lock_guard<std::mutex> lk(w.mu);
+    if (!w.started) {
+      w.started = true;
+      std::thread(worker_loop).detach();
+    }
+    w.queue.push_back(std::move(job));
+    ++w.inflight;
+  }
+  w.cv.notify_all();
+  return 0;
+}
+
+// Block until every queued write has completed; returns the first failure
+// code since the previous flush (0 = all writes durable).
+int rhc_flush() {
+  WriterState& w = W();
+  std::unique_lock<std::mutex> lk(w.mu);
+  w.cv.wait(lk, [&] { return w.inflight == 0; });
+  int rc = w.worst_rc;
+  w.worst_rc = 0;
+  return rc;
+}
+
+// Number of queued + in-flight asynchronous writes.
+int rhc_pending() {
+  WriterState& w = W();
+  std::lock_guard<std::mutex> lk(w.mu);
+  return w.inflight;
+}
+
 // Returns 0 on success.
 int rhc_save(const char* path, const uint8_t* data, uint64_t nbytes,
              int level) {
+  return save_impl(path, data, nbytes, level);
+}
+
+}  // extern "C"
+
+namespace {
+int save_impl(const char* path, const uint8_t* data, uint64_t nbytes,
+              int level) {
   FILE* f = fopen(path, "wb");
   if (!f) return 1;
   Header h{kMagic, static_cast<uint32_t>(level), nbytes,
@@ -87,6 +202,10 @@ int rhc_save(const char* path, const uint8_t* data, uint64_t nbytes,
   int rc = fclose(f) == 0 ? 0 : 2;
   return rc;
 }
+
+}  // namespace
+
+extern "C" {
 
 // Reads header only; fills nbytes. Returns 0 on success.
 int rhc_peek(const char* path, uint64_t* nbytes) {

@@ -144,7 +144,7 @@ def experiment(
         t, h1 = _timed(space.h10_norm, sols)
         store["time2calculate_h1norm"] = t
         store["solutions_H1norm"] = np.asarray(h1)
-        store.save()
+        store.save(wait=False)
         if verbose:
             print(f"{len(a)} snapshots in {store['time2calculate_solutions']:.3f}s "
                   f"({len(a)/store['time2calculate_solutions']:.1f}/s)")
@@ -184,7 +184,7 @@ def experiment(
             # data[name] = {"errors": {}, ...} on rebuild, HighContrast.py:164)
             entry["errors"] = {}
             entry["times"] = {}
-            store.save()
+            store.save(wait=False)
             bases[key] = rb
         else:
             from romhighcontrast_tpu.rom.basis import ReducedBasis
@@ -271,8 +271,9 @@ def experiment(
                 parameter_estimation_inverse=inv_t,
                 parameter_estimation_linear=lin_t,
             )._asdict()
-            store.save()
+            store.save(wait=False)
 
+    store.finalize()  # all checkpoints durable before returning
     return ExperimentResult(
         space=space,
         store=store,

@@ -63,6 +63,8 @@ class ExperimentStore:
             backend = "native" if native.available() else "npz"
         self.backend = backend
         self.data: dict = {}
+        self._pending_index: dict | None = None
+        self._atexit_registered = False
         if self.index_path.exists() and backend == "native":
             self.load()
         elif self.path.exists():
@@ -71,6 +73,7 @@ class ExperimentStore:
             self.load_native()
 
     def load(self) -> dict:
+        self.finalize()
         if self.backend == "native" and self.index_path.exists():
             return self.load_native()
         return self.load_npz()
@@ -96,7 +99,18 @@ class ExperimentStore:
         self.data = _unflatten(flat)
         return self.data
 
-    def save(self) -> None:
+    def save(self, wait: bool = True) -> None:
+        """Persist the store.
+
+        ``wait=False`` (native backend only) hands the compression to the
+        C++ background writer thread and returns immediately — overlapping
+        the single host core's zlib work with the next stage's device
+        compute.  ``index.json`` is the commit point and is only written
+        once the queued writes are durable (at the next ``save``/``load``,
+        an explicit :meth:`finalize`, or interpreter exit), so a crash
+        mid-write simply re-runs the stage instead of loading corrupt data.
+        """
+        self.finalize()  # commit any previous asynchronous save first
         flat = {k: np.asarray(v) for k, v in _flatten(self.data).items()}
         if self.backend == "native":
             from romhighcontrast_tpu import native
@@ -106,15 +120,36 @@ class ExperimentStore:
             index = {}
             for i, (k, v) in enumerate(flat.items()):
                 fname = f"{i:05d}.rhc"
-                native.save_array(adir / fname, v)
+                if wait:
+                    native.save_array(adir / fname, v)
+                else:
+                    native.save_array_async(adir / fname, v)
                 index[k] = fname  # raw separator-joined key (JSON-safe)
-            self.index_path.write_text(json.dumps(index, indent=1))
+            if wait:
+                self.index_path.write_text(json.dumps(index, indent=1))
+            else:
+                self._pending_index = index
+                if not self._atexit_registered:
+                    import atexit
+
+                    atexit.register(self.finalize)
+                    self._atexit_registered = True
         else:
             np.savez_compressed(self.path, **flat)
         manifest = {
             k.replace(_SEP, "/"): list(np.shape(v)) for k, v in flat.items()
         }
         self.manifest_path.write_text(json.dumps(manifest, indent=1))
+
+    def finalize(self) -> None:
+        """Wait for queued asynchronous writes and commit their index."""
+        if self._pending_index is None:
+            return
+        from romhighcontrast_tpu import native
+
+        native.flush()
+        self.index_path.write_text(json.dumps(self._pending_index, indent=1))
+        self._pending_index = None
 
     # dict-ish conveniences
     def __contains__(self, k):

@@ -25,7 +25,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB), "-lz"],
+            ["g++", "-O2", "-shared", "-fPIC", "-pthread", str(_SRC),
+             "-o", str(_LIB), "-lz"],
             check=True,
             capture_output=True,
             timeout=120,
@@ -54,6 +55,12 @@ def get_lib():
         ctypes.c_int,
     ]
     lib.rhc_save.restype = ctypes.c_int
+    lib.rhc_save_async.argtypes = lib.rhc_save.argtypes
+    lib.rhc_save_async.restype = ctypes.c_int
+    lib.rhc_flush.argtypes = []
+    lib.rhc_flush.restype = ctypes.c_int
+    lib.rhc_pending.argtypes = []
+    lib.rhc_pending.restype = ctypes.c_int
     lib.rhc_peek.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64)]
     lib.rhc_peek.restype = ctypes.c_int
     lib.rhc_load.argtypes = [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint64]
@@ -85,6 +92,48 @@ def save_array(path, arr: np.ndarray, level: int = 1) -> None:
     Path(f"{path}.json").write_text(
         json.dumps({"dtype": arr.dtype.str, "shape": shape})
     )
+
+
+def save_array_async(path, arr: np.ndarray, level: int = 1) -> None:
+    """Enqueue one array save on the native background writer thread.
+
+    The payload is copied before returning, so the caller may mutate or free
+    the array immediately.  The writer writes ``<path>.tmp`` and renames on
+    success; call :func:`flush` to wait for durability and surface errors.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native store unavailable")
+    arr = np.asarray(arr)
+    shape = list(arr.shape)
+    arr = np.ascontiguousarray(arr)
+    rc = lib.rhc_save_async(
+        str(path).encode(),
+        arr.ctypes.data_as(ctypes.c_void_p),
+        arr.nbytes,
+        level,
+    )
+    if rc != 0:
+        raise IOError(f"rhc_save_async({path}) failed with code {rc}")
+    Path(f"{path}.json").write_text(
+        json.dumps({"dtype": arr.dtype.str, "shape": shape})
+    )
+
+
+def flush() -> None:
+    """Wait for all queued asynchronous saves; raise on any write failure."""
+    lib = get_lib()
+    if lib is None:
+        return
+    rc = lib.rhc_flush()
+    if rc != 0:
+        raise IOError(f"async checkpoint write failed with code {rc}")
+
+
+def pending() -> int:
+    """Queued + in-flight asynchronous saves."""
+    lib = get_lib()
+    return 0 if lib is None else int(lib.rhc_pending())
 
 
 def load_array(path) -> np.ndarray:

@@ -71,3 +71,37 @@ def test_native_faster_than_npz(tmp_path):
     s_nat.save()
     t_nat = time.time() - t0
     assert t_nat < t_npz, (t_nat, t_npz)
+
+
+@pytest.mark.skipif(not native.available(), reason="toolchain unavailable")
+def test_async_save_flush_roundtrip(tmp_path):
+    """Async saves are durable after flush and bitwise-identical on load."""
+    rng = np.random.default_rng(3)
+    arrays = {f"a{i}": rng.standard_normal((64, 97)) for i in range(5)}
+    for name, arr in arrays.items():
+        native.save_array_async(tmp_path / name, arr)
+    native.flush()
+    assert native.pending() == 0
+    for name, arr in arrays.items():
+        np.testing.assert_array_equal(native.load_array(tmp_path / name), arr)
+    # no stray .tmp files survive
+    assert not list(tmp_path.glob("*.tmp"))
+
+
+@pytest.mark.skipif(not native.available(), reason="toolchain unavailable")
+def test_store_async_save_commits_on_finalize(tmp_path):
+    """save(wait=False) defers the index commit: a fresh store only sees the
+    data once finalize (or the next save/load) ran."""
+    store = ExperimentStore(tmp_path / "exp", backend="native")
+    store["x"] = np.arange(10.0)
+    store.save(wait=False)
+    store.finalize()
+    fresh = ExperimentStore(tmp_path / "exp", backend="native")
+    np.testing.assert_array_equal(fresh["x"], np.arange(10.0))
+    # a second async save is committed implicitly by the next save()
+    store["y"] = np.ones(3)
+    store.save(wait=False)
+    store["z"] = np.zeros(2)
+    store.save()
+    fresh = ExperimentStore(tmp_path / "exp", backend="native")
+    assert "y" in fresh.data and "z" in fresh.data
