@@ -138,14 +138,23 @@ def _pcg_cheb_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, x_ref, it_ref,
     bb = dots(b, b)
     tol2bb = f32(tol2) * jnp.where(bb == 0, one, bb)
 
+    # divergence freeze: below its f32 floor a sample's PCG recurrence can
+    # grow without bound (measured: inner_tol=1e-5 NaN'd the whole batch
+    # before this guard existed).  A diverged sample freezes at its current
+    # x; the outer refinement loop re-attacks it from the true f64 residual.
+    div2bb = f32(1e4) * jnp.where(bb == 0, one, bb)
+
+    def is_active(rr):  # (BS, 1) -> f32 mask
+        return jnp.logical_and(rr > tol2bb, rr < div2bb).astype(f32)
+
     def cond(state):
         rr, it = state[4], state[5]
-        keep = jnp.max(rr - tol2bb) > zero
+        keep = jnp.max(is_active(rr)) > zero
         return jnp.logical_and(keep, it < maxiter)
 
     def body(state):
         x, r, p, rz, rr, it, counts = state
-        active = (rr > tol2bb).astype(f32)  # (BS, 1)
+        active = is_active(rr)  # (BS, 1)
         Kp = matvec(p)
         pKp = dots(p, Kp)
         # scalar-level freeze: alpha = beta = 0 for converged/broken samples
