@@ -142,14 +142,19 @@ class ExperimentStore:
         self.manifest_path.write_text(json.dumps(manifest, indent=1))
 
     def finalize(self) -> None:
-        """Wait for queued asynchronous writes and commit their index."""
+        """Wait for queued asynchronous writes and commit their index.
+
+        The pending index is cleared BEFORE the flush: if any write failed,
+        the raise discards the commit entirely (the stage re-runs next time)
+        instead of a later retry committing an index that references files
+        whose writes failed."""
         if self._pending_index is None:
             return
+        pending, self._pending_index = self._pending_index, None
         from romhighcontrast_tpu import native
 
-        native.flush()
-        self.index_path.write_text(json.dumps(self._pending_index, indent=1))
-        self._pending_index = None
+        native.flush()  # raises on any failed write -> commit discarded
+        self.index_path.write_text(json.dumps(pending, indent=1))
 
     # dict-ish conveniences
     def __contains__(self, k):

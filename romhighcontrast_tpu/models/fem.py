@@ -370,8 +370,16 @@ class FemSpace:
             nf = len(idx_f)
             x = x.at[idx_f].set(xf[:nf])
             res = res.at[idx_f].set(inf_f.relative_residual[:nf])
-            it_f = jnp.broadcast_to(inf_f.iterations, (len(pf),))
-            iters = iters.at[idx_f].set(it_f[:nf].astype(jnp.int32))
+            if jnp.ndim(inf_f.iterations) > 0:
+                # real per-sample counts (pallas_v2 inner)
+                iters = iters.at[idx_f].set(
+                    inf_f.iterations[:nf].astype(jnp.int32)
+                )
+            else:
+                # scalar bucket total (xla inner) — per-sample counts are
+                # unavailable; use the -1 sentinel rather than stamping the
+                # bucket total onto every sample
+                iters = iters.at[idx_f].set(jnp.int32(-1))
         if len(idx_c):
             pc = pad_idx(idx_c, 16)
             rc = rhs_flat if rhs_b is None else rhs_b[pc]

@@ -48,6 +48,17 @@ def get_lib():
         lib = ctypes.CDLL(str(_LIB))
     except OSError:
         return None
+    if not hasattr(lib, "rhc_save_async"):
+        # stale library from an older store.cpp (missing the async writer):
+        # rebuild once; degrade to the npz fallback if that is impossible
+        if not (_SRC.exists() and _build()):
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            return None
+        if not hasattr(lib, "rhc_save_async"):
+            return None
     lib.rhc_save.argtypes = [
         ctypes.c_char_p,
         ctypes.c_void_p,

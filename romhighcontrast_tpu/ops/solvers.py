@@ -351,11 +351,13 @@ def solve_pcg_mixed(
             jnp.logical_and(jnp.any(unconv), improving), rounds < max_rounds
         )
 
+    if inner not in ("pallas_v2", "pallas", "xla"):
+        raise ValueError(
+            f"Unknown inner solver {inner!r}; expected one of "
+            "['pallas_v2', 'pallas', 'xla']"
+        )
     batch = diag.shape[:-2]
     grid_shape = diag.shape[-2:]
-    nbatch = 1
-    for d in batch:
-        nbatch *= d
     interpret = jax.default_backend() == "cpu"
 
     if inner == "pallas_v2":

@@ -125,7 +125,9 @@ def field_gallery(space, coefficients, *, labels=None, resolution: int = 96,
       magnitudes across a parameter sweep).
     """
     grid = grid or FieldGrid(space, resolution)
-    fields = np.atleast_3d(grid.render(coefficients))
+    # atleast_2d (not 3d) on the COEFFICIENTS: a single unbatched vector must
+    # become one panel, not resolution panels of (res, 1) columns
+    fields = grid.render(np.atleast_2d(np.asarray(coefficients)))
     fig, axes = panel_grid(len(fields), panel_size=panel_size, ncols=ncols)
     if share_clim and clim is None:
         clim = (float(fields.min()), float(fields.max()))
@@ -151,8 +153,8 @@ def comparison_gallery(space, truth, estimates, *, labels=None,
     import matplotlib.pyplot as plt
 
     grid = grid or FieldGrid(space, resolution)
-    vt = np.atleast_3d(grid.render(truth))
-    ve = np.atleast_3d(grid.render(estimates))
+    vt = grid.render(np.atleast_2d(np.asarray(truth)))
+    ve = grid.render(np.atleast_2d(np.asarray(estimates)))
     n = len(vt)
     fig, axes = plt.subplots(n, 2, figsize=(2 * panel_size, panel_size * n),
                              squeeze=False)

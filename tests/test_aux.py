@@ -144,3 +144,24 @@ def test_field_grid_rendering_and_galleries(tmp_path):
     with figure_file(tmp_path / "x") as (fig, ax):
         ax.plot([0, 1], [0, 1])
     assert (tmp_path / "x.png").exists()
+
+
+def test_field_gallery_single_unbatched_vector(tmp_path):
+    """A single (dim,) coefficient vector renders as ONE panel (regression:
+    atleast_3d used to explode it into `resolution` panels)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from romhighcontrast_tpu.viz import comparison_gallery, field_gallery
+
+    space = FemSpace((2, 2), 5)
+    u = np.asarray(space.solve(np.ones((2, 2))))  # unbatched -> (dim,)
+    assert u.ndim == 1
+    fig, axes = field_gallery(space, u, resolution=13)
+    assert len(axes) == 1
+    plt.close(fig)
+    fig, axes = comparison_gallery(space, u, u, resolution=13)
+    assert axes.shape == (1, 2)
+    plt.close(fig)

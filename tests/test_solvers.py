@@ -191,7 +191,11 @@ def test_split_batch_reports_per_sample_info():
     x, info = space.solve(a, return_info=True)
     assert info.relative_residual.shape == (3,)
     assert info.iterations.shape == (3,)
-    assert np.all(np.asarray(info.iterations) > 0)
+    its = np.asarray(info.iterations)
+    # cluster sample reports the deflated loop count; fast-bucket samples
+    # report real per-sample counts (pallas_v2) or the -1 sentinel (xla)
+    assert its[0] > 0
+    assert np.all((its[1:] > 0) | (its[1:] == -1))
     # clean samples converge tightly; the cluster sample is eps*kappa class
     res = np.asarray(info.relative_residual)
     assert res[1] < 1e-9 and res[2] < 1e-9
