@@ -200,3 +200,18 @@ def test_split_batch_reports_per_sample_info():
     res = np.asarray(info.relative_residual)
     assert res[1] < 1e-9 and res[2] < 1e-9
     assert res[0] < 1e-2
+
+
+def test_pallas_v2_non_square_geometry_matches_oracle():
+    """The stacked kernel's padding/roll logic must hold on rectangular
+    block grids (nr != nc) through the public solve path."""
+    space = FemSpace((3, 2), 6)   # interior grid 17 x 11
+    oracle = FemOracle((3, 2), 6)
+    a = np.ones((2, 3, 2))
+    a[0, 0, 0] = INFINIT_A
+    a[1, 2, 1] = 1e7
+    u = np.asarray(space.solve(a, method="pallas", tol=1e-11))
+    for k in range(2):
+        ref = oracle.solve(a[k])
+        err = np.max(np.abs(u[k] - ref)) / np.max(np.abs(ref))
+        assert err < 1e-9, (k, err)
