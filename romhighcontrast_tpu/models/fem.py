@@ -346,9 +346,18 @@ class FemSpace:
         path.  (The reference handles these cases implicitly through its
         dense LU: src/lib/SolutionsManagers.py:29-31.)
 
-        Subsets are padded to bucket sizes (64 fast / 16 deflated) by
-        repeating the last sample so repeated calls with different split
-        sizes reuse a handful of compiled programs instead of one per size.
+        Subsets are padded to multiples of 64 by repeating the last sample,
+        and the static cluster-count bound rounds up to a power of two, so
+        repeated calls with different split sizes reuse a handful of
+        compiled programs instead of one per size — the f64 deflated
+        while_loop costs ~40 s per fresh shape on the remote compiler
+        (measured: per-experiment shape churn dropped a cluster-heavy study
+        from 222 to 24 solves/s).
+
+        Cluster-DOMINATED batches (more cluster samples than clean ones)
+        skip the split and run the whole batch on the deflated solver with
+        one canonical shape; the clean minority pays f64 pricing, which is
+        cheaper than an extra compile + a tiny fast-path launch.
         """
         B = a2.shape[0]
         idx_f = np.where(~has)[0]
@@ -357,6 +366,27 @@ class FemSpace:
 
         def pad_idx(idx, m):
             return np.concatenate([idx, np.repeat(idx[-1:], -len(idx) % m)])
+
+        # static bound for the masked coarse passes, shape-bucketed
+        kpow2 = 1 << (max(int(kmax), 1) - 1).bit_length()
+
+        if len(idx_c) > len(idx_f):
+            rhs_grid = jnp.broadcast_to(
+                rhs_flat.reshape((1,) + self.grid_shape)
+                if rhs_b is None
+                else rhs_b.reshape((-1,) + self.grid_shape),
+                (B,) + self.grid_shape,
+            )
+            x, info = solvers.solve_pcg_deflated(
+                self.weights(a2), rhs_grid,
+                cluster_labels=jnp.asarray(lab_np),
+                n_clusters=kpow2, tol=tol, maxiter=maxiter,
+            )
+            iters = jnp.broadcast_to(info.iterations, (B,)).astype(jnp.int32)
+            return x, solvers.PCGInfo(
+                iterations=iters,
+                relative_residual=info.relative_residual,
+            )
 
         x = jnp.zeros((B,) + self.grid_shape, self.dtype)
         res = jnp.zeros((B,), self.dtype)
@@ -381,7 +411,7 @@ class FemSpace:
                 # bucket total onto every sample
                 iters = iters.at[idx_f].set(jnp.int32(-1))
         if len(idx_c):
-            pc = pad_idx(idx_c, 16)
+            pc = pad_idx(idx_c, 64)
             rc = rhs_flat if rhs_b is None else rhs_b[pc]
             rhs_grid = jnp.broadcast_to(
                 rc.reshape((1,) + self.grid_shape)
@@ -391,7 +421,7 @@ class FemSpace:
             xc, inf_c = solvers.solve_pcg_deflated(
                 self.weights(a2[pc]), rhs_grid,
                 cluster_labels=jnp.asarray(lab_np[pc]),
-                n_clusters=max(int(kmax), 1),
+                n_clusters=kpow2,
                 tol=tol, maxiter=maxiter,
             )
             nc = len(idx_c)
