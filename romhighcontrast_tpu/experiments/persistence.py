@@ -9,7 +9,9 @@ which is the reference's (and this framework's) checkpoint/resume model.
 
 from __future__ import annotations
 
+import hashlib
 import json
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -65,6 +67,11 @@ class ExperimentStore:
         self.data: dict = {}
         self._pending_index: dict | None = None
         self._atexit_registered = False
+        #: per-key (shape, dtype, crc32) of the last persisted payloads —
+        #: incremental saves skip unchanged arrays (the experiment driver
+        #: checkpoints after every stage; re-compressing the multi-MB
+        #: snapshot matrix 60x per experiment was the dominant host cost)
+        self._sig: dict = {}
         if self.index_path.exists() and backend == "native":
             self.load()
         elif self.path.exists():
@@ -118,17 +125,31 @@ class ExperimentStore:
             adir = self.folder / "arrays"
             adir.mkdir(exist_ok=True)
             index = {}
-            for i, (k, v) in enumerate(flat.items()):
-                fname = f"{i:05d}.rhc"
+            pending_sigs = {}
+            for k, v in flat.items():
+                # stable per-key filename so incremental saves can keep
+                # unchanged payload files in place
+                fname = hashlib.sha1(k.encode()).hexdigest()[:16] + ".rhc"
+                v = np.ascontiguousarray(v)
+                sig = (v.shape, v.dtype.str, zlib.crc32(v.data))
+                if self._sig.get(k) == sig and (adir / fname).exists():
+                    index[k] = fname  # unchanged since last persisted save
+                    continue
                 if wait:
                     native.save_array(adir / fname, v)
+                    self._sig[k] = sig
                 else:
                     native.save_array_async(adir / fname, v)
+                    # signature commits only once the write is durable: a
+                    # failed flush must not leave a sig that lets a retry
+                    # skip rewriting a stale payload file
+                    pending_sigs[k] = sig
                 index[k] = fname  # raw separator-joined key (JSON-safe)
             if wait:
                 self.index_path.write_text(json.dumps(index, indent=1))
             else:
                 self._pending_index = index
+                self._pending_sigs = pending_sigs
                 if not self._atexit_registered:
                     import atexit
 
@@ -151,10 +172,12 @@ class ExperimentStore:
         if self._pending_index is None:
             return
         pending, self._pending_index = self._pending_index, None
+        sigs, self._pending_sigs = getattr(self, "_pending_sigs", {}), {}
         from romhighcontrast_tpu import native
 
         native.flush()  # raises on any failed write -> commit discarded
         self.index_path.write_text(json.dumps(pending, indent=1))
+        self._sig.update(sigs)
 
     # dict-ish conveniences
     def __contains__(self, k):

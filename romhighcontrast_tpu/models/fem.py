@@ -346,18 +346,20 @@ class FemSpace:
         path.  (The reference handles these cases implicitly through its
         dense LU: src/lib/SolutionsManagers.py:29-31.)
 
-        Subsets are padded to multiples of 64 by repeating the last sample,
-        and the static cluster-count bound rounds up to a power of two, so
-        repeated calls with different split sizes reuse a handful of
-        compiled programs instead of one per size — the f64 deflated
-        while_loop costs ~40 s per fresh shape on the remote compiler
-        (measured: per-experiment shape churn dropped a cluster-heavy study
-        from 222 to 24 solves/s).
+        Shape discipline (compiles cost ~40 s per fresh shape on the remote
+        compiler — measured to drop a cluster-heavy study from 222 to 24
+        solves/s before this design):
 
-        Cluster-DOMINATED batches (more cluster samples than clean ones)
-        skip the split and run the whole batch on the deflated solver with
-        one canonical shape; the clean minority pays f64 pricing, which is
-        cheaper than an extra compile + a tiny fast-path launch.
+        * the FAST path runs on the FULL batch — the same canonical shape as
+          cluster-free batches, compiled exactly once per batch size.
+          Cluster samples produce garbage there (overwritten below); their
+          wasted iterations are trivial because difficulty sorting packs
+          them into few blocks and the divergence freeze halts them early;
+        * the deflated bucket pads to multiples of 64 and its static
+          cluster-count bound rounds up to a power of two;
+        * cluster-DOMINATED batches (more cluster samples than clean ones)
+          skip the split entirely: one whole-batch deflated shape, with the
+          clean minority paying f64 pricing.
         """
         B = a2.shape[0]
         idx_f = np.where(~has)[0]
@@ -392,18 +394,17 @@ class FemSpace:
         res = jnp.zeros((B,), self.dtype)
         iters = jnp.zeros((B,), jnp.int32)
         if len(idx_f):
-            pf = pad_idx(idx_f, 64)
-            rf = rhs_flat if rhs_b is None else rhs_b[pf]
+            # full batch through the fast path: canonical shape, shared with
+            # the cluster-free route; cluster rows are overwritten below
             xf, inf_f = _solve_mixed_from_a(
-                a2[pf], rf, self.N, self.grid_shape, tol, inner
+                a2, rhs_flat, self.N, self.grid_shape, tol, inner
             )
-            nf = len(idx_f)
-            x = x.at[idx_f].set(xf[:nf])
-            res = res.at[idx_f].set(inf_f.relative_residual[:nf])
+            x = x.at[idx_f].set(xf[idx_f])
+            res = res.at[idx_f].set(inf_f.relative_residual[idx_f])
             if jnp.ndim(inf_f.iterations) > 0:
                 # real per-sample counts (pallas_v2 inner)
                 iters = iters.at[idx_f].set(
-                    inf_f.iterations[:nf].astype(jnp.int32)
+                    inf_f.iterations[idx_f].astype(jnp.int32)
                 )
             else:
                 # scalar bucket total (xla inner) — per-sample counts are

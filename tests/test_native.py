@@ -105,3 +105,30 @@ def test_store_async_save_commits_on_finalize(tmp_path):
     store.save()
     fresh = ExperimentStore(tmp_path / "exp", backend="native")
     assert "y" in fresh.data and "z" in fresh.data
+
+
+@pytest.mark.skipif(not native.available(), reason="toolchain unavailable")
+def test_incremental_save_skips_unchanged_arrays(tmp_path):
+    """Repeated saves only rewrite changed payloads (stable per-key files),
+    and the reloaded store always reflects the latest data."""
+    store = ExperimentStore(tmp_path / "exp", backend="native")
+    store["big"] = np.arange(50000.0)
+    store["small"] = np.ones(4)
+    store.save()
+    adir = tmp_path / "exp" / "arrays"
+    mtimes = {f.name: f.stat().st_mtime_ns for f in adir.glob("*.rhc")}
+    # change only 'small'; 'big' must not be rewritten
+    store["small"] = np.zeros(4)
+    store.save()
+    changed = [f.name for f in adir.glob("*.rhc")
+               if mtimes.get(f.name) != f.stat().st_mtime_ns]
+    assert len(changed) == 1
+    fresh = ExperimentStore(tmp_path / "exp", backend="native")
+    np.testing.assert_array_equal(fresh["small"], np.zeros(4))
+    np.testing.assert_array_equal(fresh["big"], np.arange(50000.0))
+    # async path: same skip semantics through finalize
+    store["big"] = np.arange(50000.0) * 2.0
+    store.save(wait=False)
+    store.finalize()
+    fresh = ExperimentStore(tmp_path / "exp", backend="native")
+    np.testing.assert_array_equal(fresh["big"], np.arange(50000.0) * 2.0)
