@@ -17,9 +17,11 @@ from dataclasses import dataclass, field
 from typing import NamedTuple, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from romhighcontrast_tpu.config import results_path
+from romhighcontrast_tpu.ops import stencil as st
 from romhighcontrast_tpu.experiments.grids import get_a2test_and_train
 from romhighcontrast_tpu.experiments.persistence import ExperimentStore
 from romhighcontrast_tpu.rom.builders import (
@@ -202,6 +204,19 @@ def experiment(
     # stage (remote TPU compiles are ~30s each).
     a_dev = jnp.asarray(a)
     a_np = np.asarray(a)
+
+    # one fused program for the three H10 error curves of an (n, builder)
+    # cell: eagerly dispatched norm chains cost milliseconds per op on the
+    # remote backend, and this loop runs vn_max_dim * n_builders times
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("grid_shape",))
+    def _rel_h10_errors(w1, fm, pj, se, sols, h1, grid_shape):
+        def h10(u):
+            return jnp.sqrt(jnp.maximum(
+                jnp.sum(u * st.apply_operator_flat(w1, u, grid_shape), -1),
+                0.0))
+        return h10(fm - sols) / h1, h10(pj - sols) / h1, h10(se - sols) / h1
     padded_ok = hasattr(space, "forward_reduced_padded")
     basis_eval = {
         key: np.asarray(
@@ -257,10 +272,15 @@ def experiment(
                 fm_t, fm_sol = _timed(space.forward_reduced, a_dev, V)
                 pj_t, pj_sol = _timed(space.project, solutions, V)
 
+            fm_err, pj_err, se_err = _rel_h10_errors(
+                space._ones_weights, fm_sol, pj_sol, se_sol,
+                jnp.asarray(solutions), jnp.asarray(h1norms),
+                space.grid_shape,
+            )
             errors[nkey] = TypeOfProblems(
-                forward_modeling=np.asarray(space.h10_norm(fm_sol - solutions) / h1norms),
-                projection=np.asarray(space.h10_norm(pj_sol - solutions) / h1norms),
-                state_estimation=np.asarray(space.h10_norm(se_sol - solutions) / h1norms),
+                forward_modeling=np.asarray(fm_err),
+                projection=np.asarray(pj_err),
+                state_estimation=np.asarray(se_err),
                 parameter_estimation_inverse=np.abs(1 - inv_params / a_np),
                 parameter_estimation_linear=np.abs(1 - lin_params / a_np),
             )._asdict()

@@ -412,7 +412,11 @@ class FemSpace:
                 # bucket total onto every sample
                 iters = iters.at[idx_f].set(jnp.int32(-1))
         if len(idx_c):
-            pc = pad_idx(idx_c, 64)
+            # quantize the deflated bucket to ONE canonical size (256, or
+            # the batch size when smaller): the f64 while_loop costs ~35 s
+            # per fresh shape on the remote compiler, while 200 repeated
+            # padding samples cost ~1 s of batch-synchronized iterations
+            pc = pad_idx(idx_c, min(256, B))
             rc = rhs_flat if rhs_b is None else rhs_b[pc]
             rhs_grid = jnp.broadcast_to(
                 rc.reshape((1,) + self.grid_shape)
