@@ -82,11 +82,26 @@ def main():
         )
         return 1
 
+    # Amortize the remote-tunnel sync: the axon round-trip costs ~25 ms per
+    # value readback (measured; ~28% of a rep at the paper config).  Enqueue
+    # all reps (dispatch is async), then force the whole chain through ONE
+    # checksum that sums every rep's result — the readback value cannot be
+    # produced before all enqueued programs finish on the in-order device
+    # stream, so execution is still fully forced.
+    #
+    # The first burst after process start runs ~2x slow (tunnel/stream
+    # warm-up, measured 6.3k vs a stable 13.1k on every later burst), so an
+    # identical untimed burst precedes the timed one.
     reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        run(method)
-    dt = (time.time() - t0) / reps
+
+    def burst():
+        t0 = time.time()
+        acc = [space.solve(a, method=method, tol=tol) for _ in range(reps)]
+        float(sum(jnp.sum(x) for x in acc))
+        return (time.time() - t0) / reps
+
+    burst()
+    dt = burst()
 
     solves_per_sec = len(a) / dt
     print(

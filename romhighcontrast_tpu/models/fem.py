@@ -29,8 +29,10 @@ from romhighcontrast_tpu.ops import assembly, evaluation, solvers
 from romhighcontrast_tpu.ops import stencil as st
 
 
-@partial(jax.jit, static_argnames=("N", "grid_shape", "tol", "inner"))
-def _solve_mixed_from_a(a, rhs, N, grid_shape, tol, inner):
+@partial(jax.jit, static_argnames=("N", "grid_shape", "tol", "inner",
+                                   "inner_tol", "inner_opts"))
+def _solve_mixed_from_a(a, rhs, N, grid_shape, tol, inner, inner_tol=None,
+                        inner_opts=()):
     """One fused program for the fast solve path: coefficient expansion,
     stencil-weight construction, and the mixed-precision solve.  Keeping the
     whole pipeline under a single jit matters on remote-dispatch backends:
@@ -47,7 +49,9 @@ def _solve_mixed_from_a(a, rhs, N, grid_shape, tol, inner):
         )
     else:
         rhs_grid = rhs.reshape(batch + grid_shape)
-    return solvers.solve_pcg_mixed(w, rhs_grid, tol=tol, inner=inner)
+    return solvers.solve_pcg_mixed(w, rhs_grid, tol=tol, inner=inner,
+                                   inner_tol=inner_tol,
+                                   inner_opts=inner_opts)
 
 
 @partial(jax.jit, static_argnames=("grid_shape",))
@@ -187,6 +191,8 @@ class FemSpace:
         chunk_size: int | None = None,
         interior_clusters: bool | None = None,
         return_info: bool = False,
+        inner_tol: float | None = None,
+        inner_opts: tuple = (),
     ) -> jnp.ndarray:
         """Batched FOM solve ``K(a) u = rhs`` (default rhs: the f=1 load).
 
@@ -196,8 +202,10 @@ class FemSpace:
         * ``"mixed"`` (default) — f32 CG on the Jacobi-symmetrized system
           inside f64 iterative refinement; f64-accurate at any contrast.
         * ``"pallas"`` — same, with the fused multi-sample VMEM-resident
-          Pallas inner CG (fastest on TPU; interpret mode on CPU); blocks of
+          Pallas inner CG with the two-level (Chebyshev + warped-coarse)
+          preconditioner (fastest on TPU; interpret mode on CPU); blocks of
           samples are difficulty-sorted between refinement rounds.
+        * ``"pallas_v2"`` — the single-level deg-12 Chebyshev fused kernel.
         * ``"pallas_v1"`` — the legacy one-sample-per-grid-step fused kernel.
         * ``"pcg"`` — pure-f64 Jacobi PCG (alias ``"lsqsparse"``).
         * ``"cholesky"`` — batched dense Cholesky (alias ``"lsq"``).
@@ -219,11 +227,11 @@ class FemSpace:
         rhs_flat = self.load if rhs is None else jnp.asarray(rhs, self.dtype)
 
         if method in ("pcg", "lsqsparse", "cg", "pcg_mixed", "mixed", "pallas",
-                      "pallas_v1"):
-            if method in ("pcg_mixed", "mixed", "pallas", "pallas_v1"):
-                inner = {"pallas": "pallas_v2", "pallas_v1": "pallas"}.get(
-                    method, "xla"
-                )
+                      "pallas_v1", "pallas_v2"):
+            if method in ("pcg_mixed", "mixed", "pallas", "pallas_v1",
+                          "pallas_v2"):
+                inner = {"pallas": "pallas_2l", "pallas_v2": "pallas_v2",
+                         "pallas_v1": "pallas"}.get(method, "xla")
                 # Interior stiff-block components carry 1/contrast near-null
                 # modes unresolvable in f32 (measured: silent garbage without
                 # treatment).  When present — or unknown because `a` is
@@ -253,7 +261,8 @@ class FemSpace:
                         interior = False
                 if not interior:
                     x, info = _solve_mixed_from_a(
-                        a, rhs_flat, self.N, self.grid_shape, tol, inner
+                        a, rhs_flat, self.N, self.grid_shape, tol, inner,
+                        inner_tol=inner_tol, inner_opts=inner_opts,
                     )
                 else:
                     nrb, ncb = self.blocks_geometry

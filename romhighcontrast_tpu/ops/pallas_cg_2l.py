@@ -1,0 +1,333 @@
+"""Fused multi-sample Pallas kernel: two-level (Chebyshev + warped-coarse)
+preconditioned CG on the Jacobi-symmetrized stencil system.
+
+Extends the round-2 kernel (pallas_cg_v2.py — sublane stacking, scalar-level
+convergence freezing, MXU segment reductions, divergence guard) with the
+additive two-level preconditioner of ops/twolevel.py:
+
+    z  =  Cheb_deg(K~) r   +   W q_dc(Ghat) W^T r,      W = D^{1/2} P
+
+* The fine Chebyshev runs at LOW degree (3-4) on a window whose lower end
+  ``mu ~ (pi * stride * h)^2`` is covered by the coarse space — measured
+  (CPU prototype, paper config, contrast 1e10): 18 outer x 13 matvecs
+  (deg-12 single-level) -> 11 outer x 4 matvecs.
+* The coarse solve is INEXACT: ``dc`` Chebyshev sweeps on the per-sample
+  Jacobi-normalized coarse 9-point stencil, entirely in VMEM, in a stacked
+  ``(BS*Hc, Wc)`` coarse layout (sublane rolls between samples are
+  annihilated by the zero bands at coarse-grid boundaries, the same
+  induction as the fine layout).  Measured cost: +1 outer iteration vs the
+  exact ``Ghat^{-1}`` (which would need per-sample dense m x m solves —
+  unexpressible without Mosaic-hostile relayouts).
+* Restriction/prolongation are separable (bilinear = hr x hc): two small
+  MXU matmuls each way with static block-diagonal row transfers, plus the
+  elementwise ``D^{1/2}`` warp on the fine side and the ``diag(G)^{-1/2}``
+  normalization on the coarse side.
+
+Both preconditioner terms are fixed SPD linear operators (the Chebyshev
+solution polynomials ``q(lambda) = (1 - p(lambda))/lambda`` are positive on
+the spectrum), so standard CG applies.
+
+Reference equivalent being replaced: the per-parameter scipy LU solves at
+/root/reference/src/lib/SolutionsManagers.py:17-40,64-68.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from romhighcontrast_tpu.ops import stencil as st
+from romhighcontrast_tpu.ops import twolevel as tl
+from romhighcontrast_tpu.ops.pallas_cg import _neighbor, _round_up
+
+
+def default_fine_window(grid_shape, strides) -> tuple[float, float]:
+    """Fine Chebyshev window [mu, 2]: the coarse space owns modes below
+    ``mu ~ 2 (pi * stride / (n+1))^2`` (the prototype's optimum at the paper
+    grid: 0.077 with stride 5 over 80 intervals)."""
+    ratio = max(strides[0] / (grid_shape[0] + 1),
+                strides[1] / (grid_shape[1] + 1))
+    return min(0.5, 2.0 * (math.pi * ratio) ** 2), 2.0
+
+
+def auto_block_size_2l(H: int, W: int) -> int:
+    """Samples per kernel block.  Live f32 footprint ~30 fine (BS*H, W)
+    buffers (v2's ~26 + D^{1/2} + the preconditioner temporaries) plus the
+    static transfer matrices; keep it inside the 16 MB scoped-VMEM budget."""
+    bs = 8
+    while bs > 1 and 30 * bs * H * W * 4 > 15 * 2**20:
+        bs //= 2
+    return bs
+
+
+def _transfer_mats(hr, hc, BS, H, W, Hc, Wc):
+    """Static restriction/prolongation operands for the stacked layouts.
+
+    Rrow  (BS*Hc, BS*H): block-diag rows,  Rrow[s*Hc+p, s*H+i] = hr[p, i]
+    Ccol  (W, Wc):                         Ccol[j, q]          = hc[q, j]
+    """
+    m1r, nr = hr.shape
+    m1c, nc = hc.shape
+    Rrow = np.zeros((BS * Hc, BS * H), np.float32)
+    for s in range(BS):
+        Rrow[s * Hc : s * Hc + m1r, s * H : s * H + nr] = hr
+    Ccol = np.zeros((W, Wc), np.float32)
+    Ccol[:nc, :m1c] = hc.T
+    return (jnp.asarray(Rrow), jnp.asarray(Rrow.T),
+            jnp.asarray(Ccol), jnp.asarray(Ccol.T))
+
+
+def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
+                   cnn_ref, cn0_ref, cnp_ref, c0n_ref, c0p_ref, cpn_ref,
+                   cp0_ref, cpp_ref, rtol2_ref, Rrow_ref, RrowT_ref, Ccol_ref,
+                   CcolT_ref, x_ref, it_ref, *, maxiter: int, BS: int,
+                   H: int, deg: int, lmin: float, lmax: float, dc: int,
+                   clmin: float, clmax: float):
+    f32 = jnp.float32
+    wE, wW, wS, wN = wE_ref[0], wW_ref[0], wS_ref[0], wN_ref[0]
+    b = b_ref[0]
+    dh = dh_ref[0]
+    sg = sg_ref[0]
+    rtol2 = rtol2_ref[0]  # (BS, 1) per-sample relative tolerance, squared
+    cb = {(-1, -1): cnn_ref[0], (-1, 0): cn0_ref[0], (-1, 1): cnp_ref[0],
+          (0, -1): c0n_ref[0], (0, 1): c0p_ref[0], (1, -1): cpn_ref[0],
+          (1, 0): cp0_ref[0], (1, 1): cpp_ref[0]}
+    Rrow, RrowT, Ccol, CcolT = (Rrow_ref[...], RrowT_ref[...], Ccol_ref[...],
+                                CcolT_ref[...])
+    rows = wE.shape[0]  # BS * H
+
+    sid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 1) // H
+    kid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 0)
+    S = (sid == kid).astype(f32)
+
+    def matvec(u):
+        return (
+            u
+            - wE * _neighbor(u, 1, -1)
+            - wW * _neighbor(u, 1, 1)
+            - wS * _neighbor(u, 0, -1)
+            - wN * _neighbor(u, 0, 1)
+        )
+
+    def cmatvec(y):
+        # normalized coarse 9-point stencil; unit diagonal by construction,
+        # signed off-diagonal bands (no negation here)
+        out = y
+        for (dp, dq), wgt in cb.items():
+            t = y
+            if dp:
+                t = _neighbor(t, 0, -dp)
+            if dq:
+                t = _neighbor(t, 1, -dq)
+            out = out + wgt * t
+        return out
+
+    def dots(u, v):
+        part = jnp.dot(S, u * v, preferred_element_type=f32)
+        return jnp.sum(part, axis=1, keepdims=True)
+
+    def to_rows(c):
+        return jnp.dot(S.T, c, preferred_element_type=f32)
+
+    def make_cheb(apply_op, deg_, lo, hi):
+        theta = f32((hi + lo) / 2.0)
+        delta = f32((hi - lo) / 2.0)
+        sigma = float((hi + lo) / (hi - lo))
+
+        def cheb(r):
+            rho = f32(1.0 / sigma)
+            d = r / theta
+            z = d
+            for _ in range(deg_ - 1):
+                rho_new = f32(1.0) / (f32(2.0 * sigma) - rho)
+                d = (rho_new * rho) * d + (f32(2.0) * rho_new / delta) * (
+                    r - apply_op(z)
+                )
+                z = z + d
+                rho = rho_new
+            return z
+
+        return cheb
+
+    fine_cheb = make_cheb(matvec, deg, lmin, lmax)
+    coarse_cheb = make_cheb(cmatvec, dc, clmin, clmax)
+
+    def precond(r):
+        t = dh * r
+        c1 = jnp.dot(Rrow, t, preferred_element_type=f32)
+        c = sg * jnp.dot(c1, Ccol, preferred_element_type=f32)
+        y = sg * coarse_cheb(c)
+        t1 = jnp.dot(RrowT, y, preferred_element_type=f32)
+        zc = dh * jnp.dot(t1, CcolT, preferred_element_type=f32)
+        return fine_cheb(r) + zc
+
+    one = f32(1.0)
+    zero = f32(0.0)
+    bb = dots(b, b)
+    tol2bb = rtol2 * jnp.where(bb == 0, one, bb)
+    div2bb = f32(1e12) * jnp.where(bb == 0, one, bb)
+
+    def is_active(rr):
+        return jnp.logical_and(rr > tol2bb, rr < div2bb).astype(f32)
+
+    def cond(state):
+        rr, it = state[4], state[5]
+        keep = jnp.max(is_active(rr)) > zero
+        return jnp.logical_and(keep, it < maxiter)
+
+    def body(state):
+        x, r, p, rz, rr, it, counts = state
+        active = is_active(rr)
+        Kp = matvec(p)
+        pKp = dots(p, Kp)
+        alpha = active * jnp.where(pKp > 0, rz / jnp.where(pKp > 0, pKp, one),
+                                   zero)
+        ok = (alpha * rz < div2bb).astype(f32)
+        alpha = alpha * ok
+        ar = to_rows(alpha)
+        x = x + ar * p
+        r = r - ar * Kp
+        z = precond(r)
+        rz_new = dots(r, z)
+        rr_new = dots(r, r)
+        rr_new = jnp.where(jnp.isfinite(rr_new), rr_new, f32(2.0) * div2bb)
+        rr_new = jnp.where(ok > 0, rr_new, f32(2.0) * div2bb)
+        beta = active * jnp.where(rz != 0,
+                                  rz_new / jnp.where(rz != 0, rz, one), zero)
+        beta = beta * ok * jnp.isfinite(beta).astype(f32)
+        br = to_rows(beta)
+        p = z + br * p
+        rr = jnp.where(active > 0, rr_new, rr)
+        rz = jnp.where(active > 0, rz_new, rz)
+        return x, r, p, rz, rr, it + 1, counts + active
+
+    x0 = jnp.zeros_like(b)
+    z0 = precond(b)
+    state = (x0, b, z0, dots(b, z0), bb, jnp.int32(0),
+             jnp.zeros((BS, 1), f32))
+    out = jax.lax.while_loop(cond, body, state)
+    x_ref[0] = out[0]
+    it_ref[0] = out[6].astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tol", "maxiter", "block_size", "interpret", "deg",
+                     "lmin", "lmax", "dc", "clmin", "clmax", "strides"),
+)
+def cg_symmetrized_pallas_2l(
+    wt: st.StencilCoefficients,
+    b: jnp.ndarray,
+    dh: jnp.ndarray,
+    coarse: tl.CoarseOperator,
+    strides: tuple[int, int],
+    tol: float = 1e-5,
+    rtol2: jnp.ndarray | None = None,
+    maxiter: int = 200,
+    block_size: int | None = None,
+    interpret: bool = False,
+    deg: int = 3,
+    lmin: float | None = None,
+    lmax: float = 2.0,
+    dc: int = 4,
+    clmin: float = 0.05,
+    clmax: float = 2.05,
+):
+    """Two-level solve of the symmetrized system for a batch ``(B, nr, nc)``.
+
+    Args:
+      wt: symmetrized f32 stencil weights ``(B, nr, nc)``.
+      b: scaled right-hand sides ``(B, nr, nc)`` f32.
+      dh: the warp ``D^{1/2} = sqrt(diag K)`` per sample, f32.
+      coarse: normalized coarse operator (ops.twolevel.assemble_coarse) built
+        with the SAME ``strides``.
+      strides: coarse strides ``(stride_r, stride_c)`` (static).
+      rtol2: optional per-sample SQUARED relative tolerances ``(B,)`` —
+        overrides the static ``tol`` (the refinement driver asks each sample
+        for exactly the digits it still needs, so a round never over-solves).
+
+    Returns ``(x, iterations)`` — per-sample OUTER iteration counts (each
+    outer costs ``deg + 1`` fine matvecs + one coarse correction).
+    """
+    B, nr, nc = b.shape
+    if lmin is None:
+        lmin = default_fine_window((nr, nc), strides)[0]
+    m1r, m1c = coarse.sg.shape[-2:]
+    H = _round_up(nr + 1, 8)
+    W = _round_up(nc, 128)
+    Hc = _round_up(m1r + 1, 8)
+    Wc = _round_up(m1c + 1, 128)
+    if block_size is None:
+        block_size = auto_block_size_2l(H, W)
+    BS = block_size
+    BP = _round_up(B, BS)
+
+    def padf(x):
+        x = jnp.pad(
+            x.astype(jnp.float32), ((0, BP - B), (0, H - nr), (0, W - nc))
+        )
+        return x.reshape(BP // BS, BS * H, W)
+
+    def padc(x):
+        x = jnp.pad(
+            x.astype(jnp.float32),
+            ((0, BP - B), (0, Hc - m1r), (0, Wc - m1c)),
+        )
+        return x.reshape(BP // BS, BS * Hc, Wc)
+
+    wE, wW_, wS, wN = padf(wt.wE), padf(wt.wW), padf(wt.wS), padf(wt.wN)
+    bp = padf(b)
+    dhp = padf(dh)
+    sgp = padc(coarse.sg)
+    if rtol2 is None:
+        rtol2 = jnp.full((B,), tol * tol)
+    rt2 = jnp.pad(rtol2.astype(jnp.float32), (0, BP - B),
+                  constant_values=1.0).reshape(BP // BS, BS, 1)
+    cbands = [
+        padc(coarse.bands[:, dp + 1, dq + 1])
+        for dp in (-1, 0, 1)
+        for dq in (-1, 0, 1)
+        if (dp, dq) != (0, 0)
+    ]
+    hr = tl.hat_matrix(nr, strides[0])
+    hc = tl.hat_matrix(nc, strides[1])
+    Rrow, RrowT, Ccol, CcolT = _transfer_mats(hr, hc, BS, H, W, Hc, Wc)
+
+    fspec = pl.BlockSpec((1, BS * H, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, BS * Hc, Wc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    it_spec = pl.BlockSpec((1, BS, 1), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def smat(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    # Mosaic cannot compile kernels traced in x64 mode; all-f32 kernel
+    with jax.enable_x64(False):
+        out, its = pl.pallas_call(
+            functools.partial(
+                _pcg_2l_kernel, maxiter=maxiter, BS=BS, H=H,
+                deg=deg, lmin=float(lmin), lmax=float(lmax), dc=dc,
+                clmin=float(clmin), clmax=float(clmax),
+            ),
+            grid=(BP // BS,),
+            in_specs=[fspec] * 6 + [cspec] * 9 + [it_spec]
+            + [smat(Rrow), smat(RrowT), smat(Ccol), smat(CcolT)],
+            out_specs=(fspec, it_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((BP // BS, BS * H, W), jnp.float32),
+                jax.ShapeDtypeStruct((BP // BS, BS, 1), jnp.int32),
+            ),
+            interpret=interpret,
+        )(wE, wW_, wS, wN, bp, dhp, sgp, *cbands, rt2, Rrow, RrowT, Ccol,
+          CcolT)
+    out = out.reshape(BP, H, W)
+    return out[:B, :nr, :nc], its.reshape(BP)[:B]

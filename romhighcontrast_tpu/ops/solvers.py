@@ -275,12 +275,12 @@ def _cg_unit_diag(wt, b, tol, maxiter, stag_window=1_000_000):
 
 @partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter_inner",
                                    "max_rounds", "inner_dtype", "inner",
-                                   "stag_window", "n_clusters"))
+                                   "stag_window", "n_clusters", "inner_opts"))
 def solve_pcg_mixed(
     w: st.StencilCoefficients,
     rhs: jnp.ndarray,
     tol: float = 1e-11,
-    inner_tol: float = 1e-4,
+    inner_tol: float | None = None,
     maxiter_inner: int = 900,
     max_rounds: int = 12,
     inner_dtype=jnp.float32,
@@ -289,15 +289,21 @@ def solve_pcg_mixed(
     x0: jnp.ndarray | None = None,
     cluster_labels: jnp.ndarray | None = None,
     n_clusters: int = 0,
+    inner_opts: tuple = (),
 ) -> tuple[jnp.ndarray, PCGInfo]:
     """Mixed-precision solve: float32 CG on the Jacobi-symmetrized system
     inside float64 iterative refinement.
 
     ``inner`` selects the f32 CG implementation:
 
-    * ``"pallas_v2"`` — the fused multi-sample VMEM-resident kernel
-      (fastest; emits real per-sample iteration counts, which also drive
-      difficulty-sorted block packing between rounds).
+    * ``"pallas_2l"`` — the fused multi-sample kernel with the two-level
+      (Chebyshev + warped-coarse) preconditioner (fastest; ~4x fewer fine
+      matvecs than ``pallas_v2`` — see ops/twolevel.py).  Falls back to
+      ``pallas_v2`` on grids too small to carry a coarse space.  Its deeper
+      default ``inner_tol`` (1e-5 vs 1e-4) buys a whole refinement round.
+    * ``"pallas_v2"`` — the fused multi-sample single-level kernel
+      (deg-12 Chebyshev; emits real per-sample iteration counts, which also
+      drive difficulty-sorted block packing between rounds).
     * ``"pallas"`` — the legacy single-sample fused kernel.
     * ``"xla"`` — plain XLA while_loop (portable reference).
 
@@ -313,6 +319,10 @@ def solve_pcg_mixed(
     stagnation detection and run to whichever comes first: ``inner_tol`` or
     the attainable floor.  Each f32 iteration is ~12x cheaper than
     emulated-f64.
+
+    ``inner_opts``: static ``((key, value), ...)`` pairs forwarded to the
+    ``pallas_2l`` kernel (``deg``, ``dc``, ``lmin``, ``clmin``, ...) for
+    tuning sweeps without new plumbing.
 
     Stiff-cluster handling (REQUIRED for high-contrast blocks that do not
     touch the Dirichlet boundary): such clusters carry near-null modes with
@@ -351,16 +361,69 @@ def solve_pcg_mixed(
             jnp.logical_and(jnp.any(unconv), improving), rounds < max_rounds
         )
 
-    if inner not in ("pallas_v2", "pallas", "xla"):
+    if inner not in ("pallas_2l", "pallas_v2", "pallas", "xla"):
         raise ValueError(
             f"Unknown inner solver {inner!r}; expected one of "
-            "['pallas_v2', 'pallas', 'xla']"
+            "['pallas_2l', 'pallas_v2', 'pallas', 'xla']"
         )
     batch = diag.shape[:-2]
     grid_shape = diag.shape[-2:]
     interpret = jax.default_backend() == "cpu"
 
-    if inner == "pallas_v2":
+    if inner == "pallas_2l" and min(grid_shape) < 5:
+        # no room for a coarse grid; the single-level kernel is optimal at
+        # these sizes anyway
+        inner = "pallas_v2"
+    if inner_tol is None:
+        # For the two-level inner, inner_tol is the FLOOR of the adaptive
+        # per-round tolerance schedule (each round asks each sample for the
+        # digits it still needs, times a 0.3 margin); 3e-6 is reachable for
+        # most samples (measured: +3 outer iterations vs 1e-5) and lets
+        # tol=1e-10 finish in two rounds.  The single-level kernels use a
+        # fixed 1e-4 (they floor too often below that).
+        inner_tol = 3e-6 if inner == "pallas_2l" else 1e-4
+
+    if inner == "pallas_2l":
+        from romhighcontrast_tpu.ops import twolevel as tl
+        from romhighcontrast_tpu.ops.pallas_cg_2l import (
+            cg_symmetrized_pallas_2l,
+        )
+
+        strides = (tl.coarse_stride(grid_shape[0]),
+                   tl.coarse_stride(grid_shape[1]))
+        wt3 = st.StencilCoefficients(
+            *(jnp.broadcast_to(v, batch + grid_shape)
+              .reshape((-1,) + grid_shape) for v in wt32)
+        )
+        w3u = st.StencilCoefficients(
+            *(jnp.broadcast_to(v, batch + grid_shape)
+              .reshape((-1,) + grid_shape).astype(inner_dtype) for v in w)
+        )
+        coarse = tl.assemble_coarse(w3u, *strides)
+        dh3 = jnp.sqrt(
+            jnp.broadcast_to(diag, batch + grid_shape)
+        ).reshape((-1,) + grid_shape).astype(inner_dtype)
+
+        def inner_solve(rt, sort_key, rtol2):
+            order = jnp.argsort(sort_key)
+            inv = jnp.argsort(order)
+            rt3 = rt.reshape((-1,) + grid_shape)[order]
+            wts = st.StencilCoefficients(*(v[order] for v in wt3))
+            co = tl.CoarseOperator(bands=coarse.bands[order],
+                                   sg=coarse.sg[order])
+            x3, its = cg_symmetrized_pallas_2l(
+                wts, rt3, dh3[order], co, strides, tol=inner_tol,
+                rtol2=rtol2.reshape(-1)[order],
+                # cap outer iterations: healthy samples need <= ~21 to the
+                # 3e-6 floor (measured); a sample flooring ABOVE its asked
+                # tolerance must not drag its block for the full budget
+                maxiter=min(maxiter_inner, 64), interpret=interpret,
+                **dict(inner_opts),
+            )
+            return (x3[inv].reshape(batch + grid_shape),
+                    its[inv].reshape(batch))
+
+    elif inner == "pallas_v2":
         from romhighcontrast_tpu.ops.pallas_cg_v2 import cg_symmetrized_pallas_v2
 
         wt3 = st.StencilCoefficients(
@@ -368,7 +431,7 @@ def solve_pcg_mixed(
               .reshape((-1,) + grid_shape) for v in wt32)
         )
 
-        def inner_solve(rt, sort_key):
+        def inner_solve(rt, sort_key, rtol2):
             # The fused kernel runs blocks of samples to the max iteration
             # count of the block; order samples by difficulty so blocks are
             # homogeneous (keys: static conditioning proxy on round one,
@@ -387,7 +450,7 @@ def solve_pcg_mixed(
     elif inner == "pallas":
         from romhighcontrast_tpu.ops.pallas_cg import cg_symmetrized_pallas
 
-        def inner_solve(rt, sort_key):
+        def inner_solve(rt, sort_key, rtol2):
             wt3 = st.StencilCoefficients(
                 *(v.reshape((-1,) + grid_shape) for v in wt32)
             )
@@ -401,7 +464,7 @@ def solve_pcg_mixed(
 
     else:
 
-        def inner_solve(rt, sort_key):
+        def inner_solve(rt, sort_key, rtol2):
             x, it = _cg_unit_diag(wt32, rt, inner_tol, maxiter_inner,
                                   stag_window)
             return x, it
@@ -428,7 +491,19 @@ def solve_pcg_mixed(
         rr = jnp.sum(r * r, axis=(-2, -1))
         unconverged = (rr > tol2)[..., None, None]
         rt = jnp.where(unconverged, s * r, 0.0).astype(inner_dtype)
-        dt, it = inner_solve(rt, sort_key)
+        # Adaptive round tolerance: ask each sample for the digits it still
+        # needs (0.3 margin).  The floor is round-dependent: round one asks
+        # a safe 1e-5 of everyone (cheap; deeper requests make samples at
+        # their f32 floor burn the iteration cap — measured 9.7k vs 14.8k
+        # solves/s), later rounds may ask down to inner_tol so the job
+        # finishes without an extra round.
+        floor = jnp.where(rounds == 0,
+                          jnp.maximum(inner_tol, 1e-5), inner_tol)
+        rtol2_s = jnp.clip(
+            0.09 * tol2 / jnp.maximum(rr, jnp.finfo(b.dtype).tiny),
+            (floor * floor).astype(b.dtype), 1.0,
+        ).astype(inner_dtype)
+        dt, it = inner_solve(rt, sort_key, rtol2_s)
         x = x + s * dt.astype(b.dtype)
         r = true_resid(x)
         if use_clusters:
@@ -436,7 +511,7 @@ def solve_pcg_mixed(
             # reflect the cluster modes cleaned after the last inner solve
             x = x + cl.coarse_correct(w, cluster_labels, Gchol, r)
             r = true_resid(x)
-        if inner == "pallas_v2":
+        if inner in ("pallas_v2", "pallas_2l"):
             iters = iters + it.astype(jnp.int32)
             # real counts from this round are the best difficulty predictor
             # for the next round's block packing
@@ -453,7 +528,7 @@ def solve_pcg_mixed(
         # ROM to accelerate the FOM"): rounds start from its residual
         x = jnp.broadcast_to(jnp.asarray(x0, b.dtype), b.shape)
         r = true_resid(x)
-    if inner == "pallas_v2":
+    if inner in ("pallas_v2", "pallas_2l"):
         iters0 = jnp.zeros(batch, jnp.int32)
         # round-one difficulty proxy: iteration counts anti-correlate with
         # the mean log diagonal (measured corr -0.7 on the bench grid)

@@ -52,7 +52,7 @@ def test_symmetrized_weights_unit_diag_and_symmetry():
     np.testing.assert_allclose(np.asarray(lhs), rhs, rtol=1e-10, atol=1e-10)
 
 
-@pytest.mark.parametrize("inner", ["xla", "pallas", "pallas_v2"])
+@pytest.mark.parametrize("inner", ["xla", "pallas", "pallas_v2", "pallas_2l"])
 def test_mixed_precision_reaches_f64_accuracy(inner, problem):
     space, a, refs = problem
     w = space.weights(a)
@@ -80,7 +80,7 @@ def test_mixed_masks_converged_samples(problem):
     assert (res < 1e-10).all()
 
 
-@pytest.mark.parametrize("inner", ["pallas", "pallas_v2"])
+@pytest.mark.parametrize("inner", ["pallas", "pallas_v2", "pallas_2l"])
 def test_pallas_interpret_matches_xla(inner, problem):
     space, a, refs = problem
     w = space.weights(a)

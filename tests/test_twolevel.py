@@ -1,0 +1,125 @@
+"""Two-level coarse space: band assembly vs dense oracle, preconditioner
+quality, and kernel integration (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import romhighcontrast_tpu  # noqa: F401
+from romhighcontrast_tpu import FemSpace, INFINIT_A
+from romhighcontrast_tpu.ops import solvers
+from romhighcontrast_tpu.ops import stencil as st
+from romhighcontrast_tpu.ops import twolevel as tl
+
+
+@pytest.mark.parametrize(
+    "nr,nc,sr,sc", [(19, 19, 4, 4), (23, 15, 5, 3), (31, 31, 5, 5)]
+)
+def test_coarse_bands_match_dense_gram(nr, nc, sr, sc):
+    """The separable 9-band assembly equals the dense ``P^T K P`` Gram,
+    entry by entry, after Jacobi normalization."""
+    rng = np.random.default_rng(0)
+    acell = jnp.asarray(np.exp(3 * rng.standard_normal((2, nr + 1, nc + 1))))
+    w = st.stencil_weights(acell)
+    G = np.asarray(tl.coarse_gram_dense(w, sr, sc))
+    op = tl.assemble_coarse(w, sr, sc)
+    m1r = tl.hat_matrix(nr, sr).shape[0]
+    m1c = tl.hat_matrix(nc, sc).shape[0]
+    G5 = G.reshape(2, m1r, m1c, m1r, m1c)
+    sg = np.asarray(op.sg)
+    bands = np.asarray(op.bands)
+    for dp in (-1, 0, 1):
+        for dq in (-1, 0, 1):
+            for p in range(m1r):
+                for q in range(m1c):
+                    p2, q2 = p + dp, q + dq
+                    if 0 <= p2 < m1r and 0 <= q2 < m1c:
+                        want = (G5[:, p, q, p2, q2] * sg[:, p, q]
+                                * sg[:, p2, q2])
+                        got = bands[:, dp + 1, dq + 1, p, q]
+                        np.testing.assert_allclose(got, want, rtol=2e-5,
+                                                   atol=1e-6)
+    # out-of-range offsets must be exactly zero (the kernel's circular rolls
+    # rely on this to annihilate cross-sample leakage)
+    assert np.all(bands[:, 0, :, 0, :] == 0)
+    assert np.all(bands[:, 2, :, -1, :] == 0)
+    assert np.all(bands[:, :, 0, :, 0] == 0)
+    assert np.all(bands[:, :, 2, :, -1] == 0)
+    # normalized diagonal is 1
+    np.testing.assert_allclose(bands[:, 1, 1], 1.0, rtol=1e-5)
+
+
+def test_coarse_deflation_cuts_iterations_at_high_contrast():
+    """The warped coarse space must cut outer iteration counts vs the
+    single-level kernel at contrast 1e10 (the round-2 perf lever:
+    234 -> ~44 fine matvecs at the paper config)."""
+    space = FemSpace((2, 2), 10)
+    a = np.array(
+        [[[INFINIT_A, 1.0], [1.0, INFINIT_A]], [[1e6, 1.0], [1.0, 1.0]]]
+    )
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (2,) + space.grid_shape
+    )
+    _, info2l = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="pallas_2l")
+    _, infov2 = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="pallas_v2")
+    # both counts are OUTER iterations; matvecs per outer: deg+1 = 4 for the
+    # two-level kernel, deg+1 = 13 for the single-level deg-12 kernel
+    assert int(info2l.iterations.max()) * 4 < int(infov2.iterations.max()) * 13
+    assert float(info2l.relative_residual.max()) < 1e-10
+
+
+def test_twolevel_iteration_counts_are_honest():
+    space = FemSpace((2, 2), 8)
+    a = np.array([[[1.0, INFINIT_A], [1.0, 1.0]], [[1.0, 1.0], [1.0, 1.0]]])
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (2,) + space.grid_shape
+    )
+    _, info = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="pallas_2l")
+    its = np.asarray(info.iterations)
+    assert its.shape == (2,)
+    assert (its > 0).all() and (its < 64 * 12).all()
+
+
+def test_twolevel_small_grid_falls_back():
+    """Grids with no room for a coarse space must route to the single-level
+    kernel (and still converge)."""
+    space = FemSpace((2, 2), 2)  # 3x3 interior grid
+    a = np.array([[[1.0, 100.0], [1.0, 1.0]]])
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (1,) + space.grid_shape
+    )
+    x, info = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="pallas_2l")
+    assert float(info.relative_residual.max()) < 1e-10
+
+
+def test_twolevel_non_square_geometry():
+    """Anisotropic block geometry + rectangular grid through the full
+    ``solve`` path (strides differ per axis)."""
+    from oracle import FemOracle
+
+    space = FemSpace((2, 3), 7)  # 13 x 20 interior grid
+    oracle = FemOracle((2, 3), 7)
+    a = np.array([[[1.0, INFINIT_A, 1.0], [10.0, 1.0, 1e4]]])
+    ref = oracle.solve(a[0])
+    sol = space.solve(jnp.asarray(a), method="pallas", tol=1e-11)
+    err = np.max(np.abs(np.asarray(sol)[0] - ref)) / np.max(np.abs(ref))
+    assert err < 1e-9
+
+
+def test_adaptive_round_tolerance_respects_target():
+    """solve(tol=...) must deliver ~tol residuals through the adaptive
+    per-round schedule (not silently stop a decade early)."""
+    space = FemSpace((2, 2), 8)
+    rng = np.random.default_rng(3)
+    a = np.exp(rng.uniform(0, np.log(INFINIT_A), (6, 2, 2)))
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (6,) + space.grid_shape
+    )
+    for tol in (1e-8, 1e-10):
+        _, info = solvers.solve_pcg_mixed(w, rhs, tol=tol, inner="pallas_2l")
+        assert float(info.relative_residual.max()) < 3 * tol
