@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -217,6 +218,132 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
     it_ref[0] = out[6].astype(jnp.int32)
 
 
+class Prepared2L(NamedTuple):
+    """Padded, blocked, sample-sorted kernel operands that are invariant
+    across refinement rounds — built ONCE per solve.  Re-padding/gathering
+    these 15 arrays per round measured ~7 ms/1000 samples, several times the
+    kernel's own iteration work."""
+
+    wE: jnp.ndarray
+    wW: jnp.ndarray
+    wS: jnp.ndarray
+    wN: jnp.ndarray
+    dh: jnp.ndarray
+    sg: jnp.ndarray
+    cbands: tuple
+    Rrow: jnp.ndarray
+    RrowT: jnp.ndarray
+    Ccol: jnp.ndarray
+    CcolT: jnp.ndarray
+
+
+def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
+               coarse: tl.CoarseOperator, strides: tuple[int, int],
+               block_size: int | None = None):
+    """Pad/block the round-invariant operands.  Returns ``(prep, dims)``
+    with ``dims = (B, nr, nc, BS, H, W, Hc, Wc, BP)`` (python ints — pass
+    them as static arguments to :func:`cg_2l_prepared`)."""
+    B, nr, nc = dh.shape
+    m1r, m1c = coarse.sg.shape[-2:]
+    H = _round_up(nr + 1, 8)
+    W = _round_up(nc, 128)
+    Hc = _round_up(m1r + 1, 8)
+    Wc = _round_up(m1c + 1, 128)
+    BS = auto_block_size_2l(H, W) if block_size is None else block_size
+    BP = _round_up(B, BS)
+
+    def padf(x):
+        x = jnp.pad(
+            x.astype(jnp.float32), ((0, BP - B), (0, H - nr), (0, W - nc))
+        )
+        return x.reshape(BP // BS, BS * H, W)
+
+    def padc(x):
+        x = jnp.pad(
+            x.astype(jnp.float32),
+            ((0, BP - B), (0, Hc - m1r), (0, Wc - m1c)),
+        )
+        return x.reshape(BP // BS, BS * Hc, Wc)
+
+    cbands = tuple(
+        padc(coarse.bands[:, dp + 1, dq + 1])
+        for dp in (-1, 0, 1)
+        for dq in (-1, 0, 1)
+        if (dp, dq) != (0, 0)
+    )
+    hr = tl.hat_matrix(nr, strides[0])
+    hc = tl.hat_matrix(nc, strides[1])
+    Rrow, RrowT, Ccol, CcolT = _transfer_mats(hr, hc, BS, H, W, Hc, Wc)
+    prep = Prepared2L(
+        wE=padf(wt.wE), wW=padf(wt.wW), wS=padf(wt.wS), wN=padf(wt.wN),
+        dh=padf(dh), sg=padc(coarse.sg), cbands=cbands,
+        Rrow=Rrow, RrowT=RrowT, Ccol=Ccol, CcolT=CcolT,
+    )
+    return prep, (B, nr, nc, BS, H, W, Hc, Wc, BP)
+
+
+def cg_2l_prepared(
+    prep: Prepared2L,
+    dims: tuple,
+    b: jnp.ndarray,
+    rtol2: jnp.ndarray,
+    maxiter: int = 200,
+    interpret: bool = False,
+    deg: int = 3,
+    lmin: float | None = None,
+    lmax: float = 2.0,
+    dc: int = 6,
+    clmin: float = 0.03,
+    clmax: float = 2.05,
+    strides: tuple[int, int] | None = None,
+):
+    """Run the kernel against prepared operands.  ``b`` ``(B, nr, nc)`` and
+    ``rtol2`` ``(B,)`` must be in the SAME sample order as the prepared
+    arrays.  Returns ``(x, iterations)`` unpadded, in that order."""
+    B, nr, nc, BS, H, W, Hc, Wc, BP = dims
+    if lmin is None:
+        lmin = default_fine_window((nr, nc), strides)[0]
+    bp = jnp.pad(
+        b.astype(jnp.float32), ((0, BP - B), (0, H - nr), (0, W - nc))
+    ).reshape(BP // BS, BS * H, W)
+    rt2 = jnp.pad(rtol2.astype(jnp.float32), (0, BP - B),
+                  constant_values=1.0).reshape(BP // BS, BS, 1)
+
+    fspec = pl.BlockSpec((1, BS * H, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, BS * Hc, Wc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    it_spec = pl.BlockSpec((1, BS, 1), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def smat(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    # Mosaic cannot compile kernels traced in x64 mode; all-f32 kernel
+    with jax.enable_x64(False):
+        out, its = pl.pallas_call(
+            functools.partial(
+                _pcg_2l_kernel, maxiter=maxiter, BS=BS, H=H,
+                deg=deg, lmin=float(lmin), lmax=float(lmax), dc=dc,
+                clmin=float(clmin), clmax=float(clmax),
+            ),
+            grid=(BP // BS,),
+            in_specs=[fspec] * 6 + [cspec] * 9 + [it_spec]
+            + [smat(prep.Rrow), smat(prep.RrowT), smat(prep.Ccol),
+               smat(prep.CcolT)],
+            out_specs=(fspec, it_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((BP // BS, BS * H, W), jnp.float32),
+                jax.ShapeDtypeStruct((BP // BS, BS, 1), jnp.int32),
+            ),
+            interpret=interpret,
+        )(prep.wE, prep.wW, prep.wS, prep.wN, bp, prep.dh, prep.sg,
+          *prep.cbands, rt2, prep.Rrow, prep.RrowT, prep.Ccol, prep.CcolT)
+    out = out.reshape(BP, H, W)
+    return out[:B, :nr, :nc], its.reshape(BP)[:B]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tol", "maxiter", "block_size", "interpret", "deg",
@@ -254,81 +381,14 @@ def cg_symmetrized_pallas_2l(
         for exactly the digits it still needs, so a round never over-solves).
 
     Returns ``(x, iterations)`` — per-sample OUTER iteration counts (each
-    outer costs ``deg + 1`` fine matvecs + one coarse correction).
+    outer costs ``deg`` fine matvecs + one coarse correction).
     """
-    B, nr, nc = b.shape
-    if lmin is None:
-        lmin = default_fine_window((nr, nc), strides)[0]
-    m1r, m1c = coarse.sg.shape[-2:]
-    H = _round_up(nr + 1, 8)
-    W = _round_up(nc, 128)
-    Hc = _round_up(m1r + 1, 8)
-    Wc = _round_up(m1c + 1, 128)
-    if block_size is None:
-        block_size = auto_block_size_2l(H, W)
-    BS = block_size
-    BP = _round_up(B, BS)
-
-    def padf(x):
-        x = jnp.pad(
-            x.astype(jnp.float32), ((0, BP - B), (0, H - nr), (0, W - nc))
-        )
-        return x.reshape(BP // BS, BS * H, W)
-
-    def padc(x):
-        x = jnp.pad(
-            x.astype(jnp.float32),
-            ((0, BP - B), (0, Hc - m1r), (0, Wc - m1c)),
-        )
-        return x.reshape(BP // BS, BS * Hc, Wc)
-
-    wE, wW_, wS, wN = padf(wt.wE), padf(wt.wW), padf(wt.wS), padf(wt.wN)
-    bp = padf(b)
-    dhp = padf(dh)
-    sgp = padc(coarse.sg)
+    B = b.shape[0]
+    prep, dims = prepare_2l(wt, dh, coarse, strides, block_size)
     if rtol2 is None:
         rtol2 = jnp.full((B,), tol * tol)
-    rt2 = jnp.pad(rtol2.astype(jnp.float32), (0, BP - B),
-                  constant_values=1.0).reshape(BP // BS, BS, 1)
-    cbands = [
-        padc(coarse.bands[:, dp + 1, dq + 1])
-        for dp in (-1, 0, 1)
-        for dq in (-1, 0, 1)
-        if (dp, dq) != (0, 0)
-    ]
-    hr = tl.hat_matrix(nr, strides[0])
-    hc = tl.hat_matrix(nc, strides[1])
-    Rrow, RrowT, Ccol, CcolT = _transfer_mats(hr, hc, BS, H, W, Hc, Wc)
-
-    fspec = pl.BlockSpec((1, BS * H, W), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((1, BS * Hc, Wc), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-    it_spec = pl.BlockSpec((1, BS, 1), lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
-
-    def smat(arr):
-        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
-                            memory_space=pltpu.VMEM)
-
-    # Mosaic cannot compile kernels traced in x64 mode; all-f32 kernel
-    with jax.enable_x64(False):
-        out, its = pl.pallas_call(
-            functools.partial(
-                _pcg_2l_kernel, maxiter=maxiter, BS=BS, H=H,
-                deg=deg, lmin=float(lmin), lmax=float(lmax), dc=dc,
-                clmin=float(clmin), clmax=float(clmax),
-            ),
-            grid=(BP // BS,),
-            in_specs=[fspec] * 6 + [cspec] * 9 + [it_spec]
-            + [smat(Rrow), smat(RrowT), smat(Ccol), smat(CcolT)],
-            out_specs=(fspec, it_spec),
-            out_shape=(
-                jax.ShapeDtypeStruct((BP // BS, BS * H, W), jnp.float32),
-                jax.ShapeDtypeStruct((BP // BS, BS, 1), jnp.int32),
-            ),
-            interpret=interpret,
-        )(wE, wW_, wS, wN, bp, dhp, sgp, *cbands, rt2, Rrow, RrowT, Ccol,
-          CcolT)
-    out = out.reshape(BP, H, W)
-    return out[:B, :nr, :nc], its.reshape(BP)[:B]
+    return cg_2l_prepared(
+        prep, dims, b, rtol2, maxiter=maxiter, interpret=interpret, deg=deg,
+        lmin=lmin, lmax=lmax, dc=dc, clmin=clmin, clmax=clmax,
+        strides=strides,
+    )
