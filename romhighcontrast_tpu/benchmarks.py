@@ -92,7 +92,7 @@ def main():
     # The first burst after process start runs ~2x slow (tunnel/stream
     # warm-up, measured 6.3k vs a stable 13.1k on every later burst), so an
     # identical untimed burst precedes the timed one.
-    reps = 5
+    reps = 10
 
     def burst():
         t0 = time.time()

@@ -75,6 +75,49 @@ def stencil_weights(acell: jnp.ndarray) -> StencilCoefficients:
     return StencilCoefficients(wE=wE, wW=wW, wS=wS, wN=wN, diag=wE + wW + wS + wN)
 
 
+def stencil_weights_split(a: jnp.ndarray, N: int) -> StencilCoefficients:
+    """float64 stencil weights built through FLOAT32 expansion + two-sum.
+
+    Expanding the block coefficients to the cell grid and averaging them in
+    emulated f64 costs ~12 ms per 1000 paper-config samples on TPU (the
+    expansion alone is ~8 ms); the same result is reproduced to ~1e-15
+    relative by expanding f32 (hi, lo) halves and reconstructing each edge
+    average with an error-free two-sum:
+
+        a = hi + lo (exact split),  hi1+hi2 = s + e (two-sum, exact),
+        w = 0.5 * (s + (e + lo1 + lo2))   [f64 only in the final combine]
+
+    Only the final combine touches f64 on the expanded grid (2 ops/plane vs
+    the naive ~6), everything else is cheap f32.  The ~1e-15 discrepancy is
+    far below the mixed-precision solver's 1e-13 residual floor.
+    """
+    f64 = a.dtype
+    hi = a.astype(jnp.float32)
+    lo = (a - hi.astype(f64)).astype(jnp.float32)
+    chi = cell_grid(hi, N)
+    clo = cell_grid(lo, N)
+
+    def corner(c, dr, dc):
+        sl_r = slice(1, None) if dr else slice(None, -1)
+        sl_c = slice(1, None) if dc else slice(None, -1)
+        return c[..., sl_r, sl_c]
+
+    def avg(r1, c1, r2, c2):
+        x1, y1 = corner(chi, r1, c1), corner(clo, r1, c1)
+        x2, y2 = corner(chi, r2, c2), corner(clo, r2, c2)
+        s = x1 + x2
+        t = s - x1
+        e = (x1 - (s - t)) + (x2 - t)  # exact two-sum error term
+        return (s.astype(f64) + (e + (y1 + y2)).astype(f64)) * 0.5
+
+    wE = avg(1, 1, 0, 1)  # (aSE + aNE) / 2
+    wW = avg(1, 0, 0, 0)  # (aSW + aNW) / 2
+    wS = avg(1, 1, 1, 0)  # (aSE + aSW) / 2
+    wN = avg(0, 1, 0, 0)  # (aNE + aNW) / 2
+    return StencilCoefficients(wE=wE, wW=wW, wS=wS, wN=wN,
+                               diag=wE + wW + wS + wN)
+
+
 def apply_operator(w: StencilCoefficients, u: jnp.ndarray) -> jnp.ndarray:
     """Apply ``K(a)`` to interior-grid field(s) ``u`` of shape
     ``(..., R-1, C-1)``.  Leading axes of ``w`` and ``u`` broadcast, so a
