@@ -322,17 +322,22 @@ def _mixed_2l_phased(w, b, s, wt32, grid_shape, tol, inner_tol,
 
     def make_round(wf, bf, sf, tol2f, wtf, dhf, cof):
         """Round body/cond for one (sub)batch; same logic as the generic
-        solve_pcg_mixed loop, specialised to the two-level kernel."""
+        solve_pcg_mixed loop, specialised to the two-level kernel.
+
+        f64 pass economics (each full-grid f64-emulated pass costs ~0.5-1
+        ms/1000 samples): ``rr`` is carried in the state so the loop cond
+        never recomputes it, and the residual/correction SCALINGS run in
+        f32 (their 1e-7 relative error perturbs only the inner rhs /
+        correction, which the next round's true f64 residual absorbs)."""
+        s32 = sf.astype(jnp.float32)
 
         def true_resid(x):
             return bf - st.apply_operator(wf, x)
 
         def body(state):
-            x, r, rounds, iters, key, _ = state
-            prev_rr = jnp.sum(r * r, axis=(-2, -1))
-            rr = prev_rr
+            x, r, rr, rounds, iters, key, _ = state
             unconverged = (rr > tol2f)[..., None, None]
-            rt = jnp.where(unconverged, sf * r, 0.0).astype(jnp.float32)
+            rt = jnp.where(unconverged, r, 0.0).astype(jnp.float32) * s32
             floor = jnp.where(rounds == 0,
                               jnp.maximum(inner_tol, 1e-5), inner_tol)
             rtol2 = jnp.clip(
@@ -349,11 +354,12 @@ def _mixed_2l_phased(w, b, s, wt32, grid_shape, tol, inner_tol,
                 maxiter=min(maxiter_inner, 64), interpret=interpret,
                 strides=strides, **dict(inner_opts),
             )
-            x = x + sf * x3[inv].astype(bf.dtype)
+            x = x + (s32 * x3[inv]).astype(bf.dtype)
             r = true_resid(x)
+            rr_new = jnp.sum(r * r, axis=(-2, -1))
             iters = iters + its[inv].astype(jnp.int32)
-            return (x, r, rounds + 1, iters,
-                    its[inv].astype(jnp.float32), prev_rr)
+            return (x, r, rr_new, rounds + 1, iters,
+                    its[inv].astype(jnp.float32), rr)
 
         def cond(budget, until_few: int = 0):
             """until_few > 0: keep full-batch rounds only while MORE than
@@ -361,8 +367,7 @@ def _mixed_2l_phased(w, b, s, wt32, grid_shape, tol, inner_tol,
             the rest); the first two rounds always run full-batch."""
 
             def c(state):
-                _, r, rounds, _, _, prev_rr = state
-                rr = jnp.sum(r * r, axis=(-2, -1))
+                _, _, rr, rounds, _, _, prev_rr = state
                 unconv = rr > tol2f
                 improving = jnp.any(
                     jnp.logical_and(unconv, rr < 0.25 * prev_rr)
@@ -386,7 +391,7 @@ def _mixed_2l_phased(w, b, s, wt32, grid_shape, tol, inner_tol,
     body, cond = make_round(w3, b3, s3, tol2, wt3, dh3, coarse)
     key0 = (-jnp.mean(jnp.log(w3.diag), axis=(-2, -1))
             .astype(jnp.float32))
-    state = (jnp.zeros_like(b3), b3, jnp.int32(0),
+    state = (jnp.zeros_like(b3), b3, bnorm2, jnp.int32(0),
              jnp.zeros((B,), jnp.int32), key0,
              jnp.full((B,), jnp.inf, b3.dtype))
     K = 128
@@ -394,10 +399,9 @@ def _mixed_2l_phased(w, b, s, wt32, grid_shape, tol, inner_tol,
     state = lax.while_loop(
         cond(max_rounds, until_few=K if phase_b else 0), body, state
     )
-    x, r, rounds, iters, key, prev_rr = state
+    x, r, rr, rounds, iters, key, prev_rr = state
 
     if phase_b:
-        rr = jnp.sum(r * r, axis=(-2, -1))
         _, idx = lax.top_k(rr / tol2, K)
         wK = st.StencilCoefficients(*(v[idx] for v in w3))
         coK = tl.CoarseOperator(bands=coarse.bands[idx], sg=coarse.sg[idx])
@@ -405,18 +409,19 @@ def _mixed_2l_phased(w, b, s, wt32, grid_shape, tol, inner_tol,
                                   st.StencilCoefficients(*(v[idx]
                                                            for v in wt3)),
                                   dh3[idx], coK)
-        stK = (x[idx], r[idx], rounds, iters[idx], key[idx], prev_rr[idx])
+        stK = (x[idx], r[idx], rr[idx], rounds, iters[idx], key[idx],
+               prev_rr[idx])
         stK = lax.while_loop(condK(max_rounds), bodyK, stK)
         x = x.at[idx].set(stK[0])
         r = r.at[idx].set(stK[1])
-        iters = iters.at[idx].set(stK[3])
-        prev_rr = prev_rr.at[idx].set(stK[5])
-        state = (x, r, stK[2], iters, key, prev_rr)
+        rr = rr.at[idx].set(stK[2])
+        iters = iters.at[idx].set(stK[4])
+        prev_rr = prev_rr.at[idx].set(stK[6])
+        state = (x, r, rr, stK[3], iters, key, prev_rr)
     # safety loop: runs only if > K samples (or, without a phase B, any)
     # are still unconverged-and-improving
     state = lax.while_loop(cond(max_rounds), body, state)
-    x, r, rounds, iters, _, _ = state
-    rr = jnp.sum(r * r, axis=(-2, -1))
+    x, r, rr, rounds, iters, _, _ = state
     return (
         x.reshape(batch + grid_shape),
         PCGInfo(iterations=iters.reshape(batch),
