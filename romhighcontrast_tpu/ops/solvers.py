@@ -320,7 +320,7 @@ def _mixed_2l_phased(w, b, s, wt32, grid_shape, tol, inner_tol,
     safe_b = jnp.where(bnorm2 == 0, 1.0, bnorm2)
     tol2 = (tol * tol) * safe_b
 
-    def make_round(wf, bf, sf, tol2f, wtf, dhf, cof):
+    def make_round(wf, bf, sf, tol2f, wtf, dhf, cof, fixed_key=None):
         """Round body/cond for one (sub)batch; same logic as the generic
         solve_pcg_mixed loop, specialised to the two-level kernel.
 
@@ -328,8 +328,22 @@ def _mixed_2l_phased(w, b, s, wt32, grid_shape, tol, inner_tol,
         ms/1000 samples): ``rr`` is carried in the state so the loop cond
         never recomputes it, and the residual/correction SCALINGS run in
         f32 (their 1e-7 relative error perturbs only the inner rhs /
-        correction, which the next round's true f64 residual absorbs)."""
+        correction, which the next round's true f64 residual absorbs).
+
+        fixed_key: when given, samples are difficulty-sorted ONCE by this
+        static key and the padded kernel operands are built once outside
+        the loop — full-batch rounds keep every block active anyway, so the
+        looser packing costs less than re-gathering ~150 MB of operands per
+        round.  (The compact straggler phase keeps per-round real-count
+        sorting: there, block packing is the whole point.)"""
         s32 = sf.astype(jnp.float32)
+        if fixed_key is not None:
+            order0 = jnp.argsort(fixed_key)
+            inv0 = jnp.argsort(order0)
+            wts0 = st.StencilCoefficients(*(v[order0] for v in wtf))
+            co0 = tl.CoarseOperator(bands=cof.bands[order0],
+                                    sg=cof.sg[order0])
+            prep0, dims0 = prepare_2l(wts0, dhf[order0], co0, strides)
 
         def true_resid(x):
             return bf - st.apply_operator(wf, x)
@@ -344,11 +358,16 @@ def _mixed_2l_phased(w, b, s, wt32, grid_shape, tol, inner_tol,
                 0.09 * tol2f / jnp.maximum(rr, jnp.finfo(bf.dtype).tiny),
                 (floor * floor).astype(bf.dtype), 1.0,
             ).astype(jnp.float32)
-            order = jnp.argsort(key)
-            inv = jnp.argsort(order)
-            wts = st.StencilCoefficients(*(v[order] for v in wtf))
-            co = tl.CoarseOperator(bands=cof.bands[order], sg=cof.sg[order])
-            prep, dims = prepare_2l(wts, dhf[order], co, strides)
+            if fixed_key is not None:
+                order, inv = order0, inv0
+                prep, dims = prep0, dims0
+            else:
+                order = jnp.argsort(key)
+                inv = jnp.argsort(order)
+                wts = st.StencilCoefficients(*(v[order] for v in wtf))
+                co = tl.CoarseOperator(bands=cof.bands[order],
+                                       sg=cof.sg[order])
+                prep, dims = prepare_2l(wts, dhf[order], co, strides)
             x3, its = cg_2l_prepared(
                 prep, dims, rt[order], rtol2[order],
                 maxiter=min(maxiter_inner, 64), interpret=interpret,
@@ -388,9 +407,10 @@ def _mixed_2l_phased(w, b, s, wt32, grid_shape, tol, inner_tol,
 
         return body, cond
 
-    body, cond = make_round(w3, b3, s3, tol2, wt3, dh3, coarse)
     key0 = (-jnp.mean(jnp.log(w3.diag), axis=(-2, -1))
             .astype(jnp.float32))
+    body, cond = make_round(w3, b3, s3, tol2, wt3, dh3, coarse,
+                            fixed_key=key0)
     state = (jnp.zeros_like(b3), b3, bnorm2, jnp.int32(0),
              jnp.zeros((B,), jnp.int32), key0,
              jnp.full((B,), jnp.inf, b3.dtype))
