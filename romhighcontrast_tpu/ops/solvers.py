@@ -273,7 +273,7 @@ def _cg_unit_diag(wt, b, tol, maxiter, stag_window=1_000_000):
     return out[0], out[5]
 
 
-def _mixed_2l_phased(w, b, s, wt32, grid_shape, tol, inner_tol,
+def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                      maxiter_inner, max_rounds, inner_opts, interpret):
     """Phased iterative-refinement driver for the two-level kernel.
 
@@ -305,15 +305,15 @@ def _mixed_2l_phased(w, b, s, wt32, grid_shape, tol, inner_tol,
         )
 
     b3 = flat(b)
-    s3 = flat(s)
     w3 = st.StencilCoefficients(*(flat(v) for v in w))
-    wt3 = st.StencilCoefficients(*(flat(v).astype(jnp.float32)
-                                   for v in wt32))
-    dh3 = jnp.sqrt(w3.diag).astype(jnp.float32)
-    coarse = tl.assemble_coarse(
-        st.StencilCoefficients(*(v.astype(jnp.float32) for v in w3)),
-        *strides,
-    )
+    # symmetrize in f32 from cast weights: the f64 rsqrt + 4 multiplies on
+    # the expanded grid cost ~3-4 ms/1000 samples and buy nothing — any
+    # consistently-used scaling yields a valid nearby SPD inner system, and
+    # the f64 true residual keeps ultimate accuracy
+    w32 = st.StencilCoefficients(*(v.astype(jnp.float32) for v in w3))
+    wt3, s3 = st.symmetrized_weights(w32)
+    dh3 = jnp.sqrt(w32.diag)
+    coarse = tl.assemble_coarse(w32, *strides)
     B = b3.shape[0]
 
     bnorm2 = jnp.sum(b3 * b3, axis=(-2, -1))
@@ -564,7 +564,7 @@ def solve_pcg_mixed(
             and not (cluster_labels is not None and n_clusters > 0)):
         # hot path: phased driver (full-batch rounds, then compact
         # straggler rounds) — see _mixed_2l_phased
-        return _mixed_2l_phased(w, b, s, wt32, grid_shape, tol, inner_tol,
+        return _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                                 maxiter_inner, max_rounds, inner_opts,
                                 interpret)
 
