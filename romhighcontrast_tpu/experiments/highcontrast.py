@@ -38,7 +38,9 @@ GENERAL_PARAMS = dict(
     recalculate=False,
     recalculate_basis=False,
     blocks_geometry=(4, 4),
-    method="mixed",
+    # flagship fused two-level kernel; interior-cluster configs (NotGeom
+    # diagonals) are split onto the f64 deflated path automatically
+    method="pallas",
     verbose=True,
 )
 

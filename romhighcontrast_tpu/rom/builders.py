@@ -18,8 +18,10 @@ TPU design notes:
 from __future__ import annotations
 
 import logging
+from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from romhighcontrast_tpu.config import INFINIT_A
@@ -133,6 +135,49 @@ class PCABuilder(ReducedBasis):
         return self
 
 
+@partial(jax.jit, static_argnames=("grid_shape", "galerkin"))
+def _greedy_step(w1, wq, load, a_flat, sols, h1, inv_hc, V_pad, mask,
+                 selected, count, grid_shape, galerkin):
+    """One fused greedy iteration: surrogate solve, error argmax, selection
+    append, contrast-sorted re-orthonormalisation — all on device.
+
+    The host loop previously issued ~25 eager dispatches per iteration
+    (surrogate solve, the h10-norm chain, argmax readback, gathers, QR);
+    on the remote-dispatch backend each costs milliseconds, making the
+    greedy build ~40 s warm per study experiment.  Fused, each iteration is
+    ONE async dispatch and only the final selected-index vector is read
+    back.  Tie-break note: jnp.argsort is stable, np.argsort (quicksort)
+    is not, so tie ordering among equal-contrast snapshots may differ from
+    the host version — both are valid contrast-sorted QR orders.
+    """
+    from romhighcontrast_tpu.models.fem import (
+        _forward_reduced_padded, _project_padded,
+    )
+    from romhighcontrast_tpu.ops import stencil as st
+
+    if galerkin:
+        approx = _forward_reduced_padded(wq, V_pad, load, a_flat, mask,
+                                         grid_shape)
+    else:
+        approx = _project_padded(w1, V_pad, sols, mask, grid_shape)
+    d = approx - sols
+    err2 = jnp.maximum(
+        jnp.sum(d * st.apply_operator_flat(w1, d, grid_shape), axis=-1), 0.0
+    )
+    ix = jnp.argmax(jnp.sqrt(err2) / h1).astype(jnp.int32)
+    selected = selected.at[count].set(ix)
+    count = count + 1
+    n = V_pad.shape[0]
+    act = jnp.arange(n) < count
+    keys = jnp.where(act, inv_hc[selected], jnp.inf)
+    order = jnp.argsort(keys)
+    act_sorted = act[order]
+    snaps = sols[selected[order]] * act_sorted[:, None]
+    q, _ = jnp.linalg.qr(snaps.T)
+    V_pad = q.T * act_sorted[:, None].astype(V_pad.dtype)
+    return V_pad, act.astype(mask.dtype), selected, count
+
+
 class GreedyBuilder(ReducedBasis):
     """Weak greedy over the training set (reference: ReducedBasisGreedy,
     ReducedBasis.py:105-139).
@@ -162,46 +207,63 @@ class GreedyBuilder(ReducedBasis):
 
         dim = solutions2train.shape[1]
         padded = hasattr(sm, "forward_reduced_padded")
-        # fixed-width padded basis: one compiled reduced-solve program for
-        # every greedy iteration (the basis "grows" via the mask only)
-        V_pad = jnp.zeros((n, dim), solutions2train.dtype)
-        mask = np.zeros(n)
-        selected_ix: list[int] = []
 
-        iterator = range(n)
-        if progress:
-            try:
-                from tqdm import tqdm
+        if padded:
+            # fully device-resident greedy: each iteration is one fused
+            # async dispatch (_greedy_step); only the final index vector is
+            # read back.  Fixed-width padded basis -> one compiled program
+            # for every iteration (the basis "grows" via the mask only).
+            dt = solutions2train.dtype
+            V_pad = jnp.zeros((n, dim), dt)
+            mask = jnp.zeros((n,), dt)
+            selected = jnp.zeros((n,), jnp.int32)
+            count = jnp.int32(0)
+            h1 = jnp.asarray(solutions2train_h1norm, dt)
+            inv_hc = jnp.asarray(1.0 / high_contrast_a, dt)
+            a_flat = a2train.reshape(a2train.shape[0], -1).astype(dt)
+            galerkin = self.greedy_for == GREEDY_FOR_GALERKIN
+            for _ in range(n):
+                V_pad, mask, selected, count = _greedy_step(
+                    sm._ones_weights, sm._eye_weights, sm.load, a_flat,
+                    solutions2train, h1, inv_hc, V_pad, mask, selected,
+                    count, sm.grid_shape, galerkin,
+                )
+            selected_ix = np.asarray(selected)
+        else:
+            # generic (non-stencil) spaces: host-driven loop
+            V_pad = jnp.zeros((n, dim), solutions2train.dtype)
+            selected_list: list[int] = []
 
-                iterator = tqdm(iterator, desc="Obtaining greedy basis.")
-            except ImportError:
-                pass
+            iterator = range(n)
+            if progress:
+                try:
+                    from tqdm import tqdm
 
-        for k in iterator:
-            if padded:
-                if self.greedy_for == GREEDY_FOR_H10:
-                    approx = sm.project_padded(solutions2train, V_pad, mask)
-                else:
-                    approx = sm.forward_reduced_padded(a2train, V_pad, mask)
-            else:
+                    iterator = tqdm(iterator, desc="Obtaining greedy basis.")
+                except ImportError:
+                    pass
+
+            for k in iterator:
                 V_act = V_pad[:k]
                 if self.greedy_for == GREEDY_FOR_H10:
                     approx = sm.project(solutions2train, V_act)
                 else:
                     approx = sm.forward_reduced(a2train, V_act)
-            rel_err = sm.h10_norm(approx - solutions2train) / solutions2train_h1norm
-            ix = int(jnp.argmax(rel_err))
-            selected_ix.append(ix)
-            # contrast-sorted orthonormalisation for stability (reference:
-            # ReducedBasis.py:134-136; see sort_orthogonalize_base for the
-            # documented pairing deviation).  The active rows are kept sorted
-            # by descending contrast so QR processes stiff snapshots first;
-            # padded zero rows stay last and never affect the active part.
-            order = np.argsort(1.0 / high_contrast_a[selected_ix])
-            snaps = solutions2train[jnp.asarray(np.asarray(selected_ix)[order])]
-            q = orthonormalize_padded(snaps, n)
-            V_pad = q
-            mask[: k + 1] = 1.0
+                rel_err = (
+                    sm.h10_norm(approx - solutions2train)
+                    / solutions2train_h1norm
+                )
+                ix = int(jnp.argmax(rel_err))
+                selected_list.append(ix)
+                # contrast-sorted orthonormalisation for stability
+                # (reference: ReducedBasis.py:134-136): stiff snapshots
+                # enter the QR first; padded zero rows stay last
+                order = np.argsort(1.0 / high_contrast_a[selected_list])
+                snaps = solutions2train[
+                    jnp.asarray(np.asarray(selected_list)[order])
+                ]
+                V_pad = orthonormalize_padded(snaps, n)
+            selected_ix = np.asarray(selected_list)
 
         self.set(
             basis=solutions2train[jnp.asarray(selected_ix)],
