@@ -216,6 +216,49 @@ class FemSpace:
         * ``"cholesky"`` — batched dense Cholesky (alias ``"lsq"``).
         """
         method = (method or self.method).lower()
+        # Canonical batch sizes for the iterative family: every distinct
+        # batch shape costs a fresh remote compile (~minutes/program on the
+        # axon service, uncached across processes) while padded rows cost
+        # only proportional device time.  Pad with a=1 samples (never adds
+        # interior clusters) and strip afterwards.  1000 sits in the ladder
+        # because it is the paper study / bench batch.
+        _canon = None
+        if method not in ("cholesky", "lsq") and jnp.ndim(a) == 3:
+            B0 = a.shape[0]
+            for c in (64, 128, 256, 512, 1000, 2048, 4096):
+                if B0 <= c:
+                    _canon = c
+                    break
+            else:
+                _canon = -(-B0 // 1024) * 1024
+            if _canon == B0:
+                _canon = None
+            elif rhs is not None and jnp.ndim(rhs) > 1:
+                rhs = jnp.concatenate(
+                    [jnp.asarray(rhs, self.dtype),
+                     jnp.zeros((_canon - B0,) + jnp.shape(rhs)[1:],
+                               self.dtype)], axis=0)
+        if _canon is not None:
+            a = jnp.concatenate(
+                [jnp.asarray(a, self.dtype),
+                 jnp.ones((_canon - a.shape[0],) + a.shape[1:], self.dtype)],
+                axis=0)
+            out = self.solve(
+                a, rhs=rhs, method=method, tol=tol, maxiter=maxiter,
+                use_coarse=use_coarse, chunk_size=chunk_size,
+                interior_clusters=interior_clusters, return_info=return_info,
+                inner_tol=inner_tol, inner_opts=inner_opts,
+            )
+            if return_info:
+                out, info = out
+                info = solvers.PCGInfo(
+                    iterations=(info.iterations[:B0]
+                                if jnp.ndim(info.iterations) > 0
+                                else info.iterations),
+                    relative_residual=info.relative_residual[:B0],
+                )
+                return out[:B0], info
+            return out[:B0]
         if self.N == 1 and method not in ("cholesky", "lsq"):
             # Degenerate discretisation: with one cell per block the stiff
             # blocks have no interior vertices and the Jacobi-symmetrized
