@@ -216,7 +216,10 @@ def experiment(
             return jnp.sqrt(jnp.maximum(
                 jnp.sum(u * st.apply_operator_flat(w1, u, grid_shape), -1),
                 0.0))
-        return h10(fm - sols) / h1, h10(pj - sols) / h1, h10(se - sols) / h1
+        # one stacked output -> ONE device->host conversion per cell
+        return jnp.stack(
+            [h10(fm - sols) / h1, h10(pj - sols) / h1, h10(se - sols) / h1]
+        )
     padded_ok = hasattr(space, "forward_reduced_padded")
     basis_eval = {
         key: np.asarray(
@@ -224,6 +227,10 @@ def experiment(
         )
         for key in bases
     }
+    # cache the per-builder host copies once: per-cell np.asarray(rb.basis)
+    # costs a sync + transfer, and the lifts below run on device anyway
+    basis_np = {key: np.asarray(bases[key].basis) for key in bases}
+    basis_a_np = {key: np.asarray(bases[key].a) for key in bases}
     meas_np = np.asarray(measurements)
 
     for n in range(1, vn_max_dim + 1):
@@ -237,27 +244,30 @@ def experiment(
             if verbose:
                 print(f"dim(Vn)={n} [{key}]")
             rb = full_rb[:n]
+            rb_basis_np = basis_np[key][:n]
+            rb_a_np = basis_a_np[key][:n]
 
-            # state estimation + parameter estimation (host: tiny shapes)
+            # state estimation: host lstsq on the tiny (m, n) system, then
+            # the (k, n) @ (n, dim) coefficient lift on DEVICE — on this
+            # single-core host the lift alone costs seconds per cell
             t0 = time.time()
             Phi = basis_eval[key][:n]  # (n, m)
             c = np.linalg.lstsq(Phi.T, meas_np.T, rcond=None)[0]  # (n, k)
-            se_sol = jnp.asarray(c.T @ np.asarray(rb.basis))
+            se_sol = jnp.asarray(c.T) @ jnp.asarray(rb.basis)
+            se_sol.block_until_ready()
             se_t = time.time() - t0
             t0 = time.time()
-            inv_params = 1.0 / np.einsum(
-                "bi,b...->i...", c, 1.0 / np.asarray(rb.a)
-            )
+            inv_params = 1.0 / np.einsum("bi,b...->i...", c, 1.0 / rb_a_np)
             inv_t = time.time() - t0
             t0 = time.time()
-            lin_params = np.einsum("bi,b...->i...", c, np.asarray(rb.a))
+            lin_params = np.einsum("bi,b...->i...", c, rb_a_np)
             lin_t = time.time() - t0
 
             # contrast-sorted orthonormalisation on host (reference:
             # ReducedBasis.py:94-98), then fixed-shape padded device solves
-            hc = np.max(np.asarray(rb.a), axis=(-2, -1))
+            hc = np.max(rb_a_np, axis=(-2, -1))
             order = np.argsort(1.0 / hc)
-            q, _ = np.linalg.qr(np.asarray(rb.basis)[order].T)
+            q, _ = np.linalg.qr(rb_basis_np[order].T)
             V = q.T  # (n, dim) orthonormal
             if padded_ok:
                 V_pad = np.zeros((vn_max_dim, V.shape[1]))
@@ -272,15 +282,15 @@ def experiment(
                 fm_t, fm_sol = _timed(space.forward_reduced, a_dev, V)
                 pj_t, pj_sol = _timed(space.project, solutions, V)
 
-            fm_err, pj_err, se_err = _rel_h10_errors(
+            errs3 = np.asarray(_rel_h10_errors(
                 space._ones_weights, fm_sol, pj_sol, se_sol,
                 jnp.asarray(solutions), jnp.asarray(h1norms),
                 space.grid_shape,
-            )
+            ))
             errors[nkey] = TypeOfProblems(
-                forward_modeling=np.asarray(fm_err),
-                projection=np.asarray(pj_err),
-                state_estimation=np.asarray(se_err),
+                forward_modeling=errs3[0],
+                projection=errs3[1],
+                state_estimation=errs3[2],
                 parameter_estimation_inverse=np.abs(1 - inv_params / a_np),
                 parameter_estimation_linear=np.abs(1 - lin_params / a_np),
             )._asdict()
