@@ -311,24 +311,32 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     # consistently-used scaling yields a valid nearby SPD inner system, and
     # the f64 true residual keeps ultimate accuracy
     w32 = st.StencilCoefficients(*(v.astype(jnp.float32) for v in w3))
-    wt3, s3 = st.symmetrized_weights(w32)
+    wt3, _ = st.symmetrized_weights(w32)
     dh3 = jnp.sqrt(w32.diag)
     coarse = tl.assemble_coarse(w32, *strides)
+    # f64 scale for the CORRECTION update only: noise injected into x AFTER
+    # the symmetrizing scale is amplified by K's stiff rows (up to the
+    # contrast) in the next true residual — an f32 product here floors
+    # mesh-40 solves at 2.9e-9 vs 8.7e-11 (measured); one f64 pass per
+    # solve is cheap, per ROUND would not be
+    s64 = jax.lax.rsqrt(w3.diag)
     B = b3.shape[0]
 
     bnorm2 = jnp.sum(b3 * b3, axis=(-2, -1))
     safe_b = jnp.where(bnorm2 == 0, 1.0, bnorm2)
     tol2 = (tol * tol) * safe_b
 
-    def make_round(wf, bf, sf, tol2f, wtf, dhf, cof, fixed_key=None):
+    def make_round(wf, bf, sf, tol2f, wtf, dhf, cof, fixed_key=None,
+                   outer_cap=64, use_v2=False):
         """Round body/cond for one (sub)batch; same logic as the generic
         solve_pcg_mixed loop, specialised to the two-level kernel.
 
         f64 pass economics (each full-grid f64-emulated pass costs ~0.5-1
         ms/1000 samples): ``rr`` is carried in the state so the loop cond
-        never recomputes it, and the residual/correction SCALINGS run in
-        f32 (their 1e-7 relative error perturbs only the inner rhs /
-        correction, which the next round's true f64 residual absorbs).
+        never recomputes it, and the inner-RHS scaling runs in f32 (its
+        1e-7 error lives in the scaled space, where the s-map back to x
+        compensates K's stiff-row amplification).  The CORRECTION update
+        must scale in f64 — see the s64 note at the call site.
 
         fixed_key: when given, samples are difficulty-sorted ONCE by this
         static key and the padded kernel operands are built once outside
@@ -358,22 +366,42 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                 0.09 * tol2f / jnp.maximum(rr, jnp.finfo(bf.dtype).tiny),
                 (floor * floor).astype(bf.dtype), 1.0,
             ).astype(jnp.float32)
-            if fixed_key is not None:
-                order, inv = order0, inv0
-                prep, dims = prep0, dims0
-            else:
+            if use_v2:
+                # single-level kernel for the deep/straggler rounds: the
+                # two-level kernel's warped coarse roundtrip sums
+                # 1e5-scaled mixed-sign f32 values, which floors its TRUE
+                # delivery at ~2e-9 at mesh 40 (measured; the single-level
+                # kernel reaches 8.7e-11).  Speed where it matters (bulk
+                # rounds), floor where it matters (straggler digs).
+                from romhighcontrast_tpu.ops.pallas_cg_v2 import (
+                    cg_symmetrized_pallas_v2,
+                )
+
                 order = jnp.argsort(key)
                 inv = jnp.argsort(order)
                 wts = st.StencilCoefficients(*(v[order] for v in wtf))
-                co = tl.CoarseOperator(bands=cof.bands[order],
-                                       sg=cof.sg[order])
-                prep, dims = prepare_2l(wts, dhf[order], co, strides)
-            x3, its = cg_2l_prepared(
-                prep, dims, rt[order], rtol2[order],
-                maxiter=min(maxiter_inner, 64), interpret=interpret,
-                strides=strides, **dict(inner_opts),
-            )
-            x = x + (s32 * x3[inv]).astype(bf.dtype)
+                x3, its = cg_symmetrized_pallas_v2(
+                    wts, rt[order], tol=1e-4, maxiter=maxiter_inner,
+                    interpret=interpret,
+                )
+            else:
+                if fixed_key is not None:
+                    order, inv = order0, inv0
+                    prep, dims = prep0, dims0
+                else:
+                    order = jnp.argsort(key)
+                    inv = jnp.argsort(order)
+                    wts = st.StencilCoefficients(*(v[order] for v in wtf))
+                    co = tl.CoarseOperator(bands=cof.bands[order],
+                                           sg=cof.sg[order])
+                    prep, dims = prepare_2l(wts, dhf[order], co, strides)
+                x3, its = cg_2l_prepared(
+                    prep, dims, rt[order], rtol2[order],
+                    maxiter=min(maxiter_inner, outer_cap),
+                    interpret=interpret, strides=strides,
+                    **dict(inner_opts),
+                )
+            x = x + sf * x3[inv].astype(bf.dtype)
             r = true_resid(x)
             rr_new = jnp.sum(r * r, axis=(-2, -1))
             iters = iters + its[inv].astype(jnp.int32)
@@ -388,8 +416,13 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
             def c(state):
                 _, _, rr, rounds, _, _, prev_rr = state
                 unconv = rr > tol2f
+                # 0.5 (not the generic loop's 0.25): near the emulated-f64
+                # floor at finer meshes stragglers contract slowly but
+                # genuinely (measured: mesh 40 stalls at 2.9e-9 > the 1e-9
+                # gate under 0.25); slow rounds are cheap in the compact
+                # straggler phase
                 improving = jnp.any(
-                    jnp.logical_and(unconv, rr < 0.25 * prev_rr)
+                    jnp.logical_and(unconv, rr < 0.5 * prev_rr)
                 )
                 keep = jnp.logical_and(
                     jnp.logical_and(jnp.any(unconv), improving),
@@ -409,7 +442,7 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
 
     key0 = (-jnp.mean(jnp.log(w3.diag), axis=(-2, -1))
             .astype(jnp.float32))
-    body, cond = make_round(w3, b3, s3, tol2, wt3, dh3, coarse,
+    body, cond = make_round(w3, b3, s64, tol2, wt3, dh3, coarse,
                             fixed_key=key0)
     state = (jnp.zeros_like(b3), b3, bnorm2, jnp.int32(0),
              jnp.zeros((B,), jnp.int32), key0,
@@ -425,12 +458,17 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         _, idx = lax.top_k(rr / tol2, K)
         wK = st.StencilCoefficients(*(v[idx] for v in w3))
         coK = tl.CoarseOperator(bands=coarse.bands[idx], sg=coarse.sg[idx])
-        bodyK, condK = make_round(wK, b3[idx], s3[idx], tol2[idx],
+        # compact straggler digs use the single-level kernel (clean f32
+        # floor); slow-but-sure rounds are cheap at 1/8 batch width
+        bodyK, condK = make_round(wK, b3[idx], s64[idx], tol2[idx],
                                   st.StencilCoefficients(*(v[idx]
                                                            for v in wt3)),
-                                  dh3[idx], coK)
+                                  dh3[idx], coK, use_v2=True)
+        # a sample that STALLED under the previous phase's kernel may still
+        # improve under this one — reset its improvement baseline so the
+        # phase gets at least one attempt
         stK = (x[idx], r[idx], rr[idx], rounds, iters[idx], key[idx],
-               prev_rr[idx])
+               jnp.full((K,), jnp.inf, b3.dtype))
         stK = lax.while_loop(condK(max_rounds), bodyK, stK)
         x = x.at[idx].set(stK[0])
         r = r.at[idx].set(stK[1])
@@ -439,8 +477,15 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         prev_rr = prev_rr.at[idx].set(stK[6])
         state = (x, r, rr, stK[3], iters, key, prev_rr)
     # safety loop: runs only if > K samples (or, without a phase B, any)
-    # are still unconverged-and-improving
-    state = lax.while_loop(cond(max_rounds), body, state)
+    # are still unconverged-and-improving; single-level inner so batches
+    # where more than K samples sit at the two-level kernel's f32 floor
+    # still reach the asked tolerance
+    bodyC, condC = make_round(w3, b3, s64, tol2, wt3, dh3, coarse,
+                              use_v2=True)
+    x, r, rr, rounds, iters, key, _ = state
+    state = (x, r, rr, rounds, iters, key,
+             jnp.full((B,), jnp.inf, b3.dtype))
+    state = lax.while_loop(condC(max_rounds), bodyC, state)
     x, r, rr, rounds, iters, _, _ = state
     return (
         x.reshape(batch + grid_shape),
