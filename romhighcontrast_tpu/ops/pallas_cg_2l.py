@@ -59,11 +59,13 @@ def default_fine_window(grid_shape, strides) -> tuple[float, float]:
 
 
 def auto_block_size_2l(H: int, W: int) -> int:
-    """Samples per kernel block.  Live f32 footprint ~30 fine (BS*H, W)
+    """Samples per kernel block.  Live f32 footprint ~34 fine (BS*H, W)
     buffers (v2's ~26 + D^{1/2} + the preconditioner temporaries) plus the
-    static transfer matrices; keep it inside the 16 MB scoped-VMEM budget."""
+    static transfer matrices; keep it inside the 16 MB scoped-VMEM budget
+    with headroom (a 30-buffer/15 MB estimate compiled to 16.94 MB at
+    H=W=256 and OOM'd the scoped allocator — measured at mesh 64)."""
     bs = 8
-    while bs > 1 and 30 * bs * H * W * 4 > 15 * 2**20:
+    while bs > 1 and 34 * bs * H * W * 4 > 14 * 2**20:
         bs //= 2
     return bs
 

@@ -467,9 +467,13 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         # a sample that STALLED under the previous phase's kernel may still
         # improve under this one — reset its improvement baseline so the
         # phase gets at least one attempt
+        # per-phase budget: at fine meshes phase A legitimately consumes
+        # many rounds before its floor, and the digging phases must still
+        # get their own max_rounds allowance (measured: mesh 64 tail stuck
+        # at 3.4e-9 with a shared budget, 1.6e-10 with per-phase budgets)
         stK = (x[idx], r[idx], rr[idx], rounds, iters[idx], key[idx],
                jnp.full((K,), jnp.inf, b3.dtype))
-        stK = lax.while_loop(condK(max_rounds), bodyK, stK)
+        stK = lax.while_loop(condK(rounds + max_rounds), bodyK, stK)
         x = x.at[idx].set(stK[0])
         r = r.at[idx].set(stK[1])
         rr = rr.at[idx].set(stK[2])
@@ -485,7 +489,7 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     x, r, rr, rounds, iters, key, _ = state
     state = (x, r, rr, rounds, iters, key,
              jnp.full((B,), jnp.inf, b3.dtype))
-    state = lax.while_loop(condC(max_rounds), bodyC, state)
+    state = lax.while_loop(condC(rounds + max_rounds), bodyC, state)
     x, r, rr, rounds, iters, _, _ = state
     return (
         x.reshape(batch + grid_shape),
