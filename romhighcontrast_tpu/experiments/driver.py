@@ -254,7 +254,9 @@ def experiment(
             Phi = basis_eval[key][:n]  # (n, m)
             c = np.linalg.lstsq(Phi.T, meas_np.T, rcond=None)[0]  # (n, k)
             se_sol = jnp.asarray(c.T) @ jnp.asarray(rb.basis)
-            se_sol.block_until_ready()
+            # checksum, not block_until_ready: the axon tunnel's block has
+            # been observed to return early (CLAUDE.md timing note)
+            float(jnp.sum(se_sol))
             se_t = time.time() - t0
             t0 = time.time()
             inv_params = 1.0 / np.einsum("bi,b...->i...", c, 1.0 / rb_a_np)

@@ -222,8 +222,13 @@ class FemSpace:
         # only proportional device time.  Pad with a=1 samples (never adds
         # interior clusters) and strip afterwards.  1000 sits in the ladder
         # because it is the paper study / bench batch.
+        a = jnp.asarray(a, self.dtype)
         _canon = None
-        if method not in ("cholesky", "lsq") and jnp.ndim(a) == 3:
+        # gate on a non-CPU backend: the ladder amortizes the remote
+        # service's per-shape compiles, which CPU/interpret runs don't pay —
+        # there the padded rows would be pure waste (up to 64x for tests)
+        if (method not in ("cholesky", "lsq") and a.ndim == 3
+                and jax.default_backend() != "cpu"):
             B0 = a.shape[0]
             for c in (64, 128, 256, 512, 1000, 2048, 4096):
                 if B0 <= c:

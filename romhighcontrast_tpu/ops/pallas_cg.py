@@ -128,6 +128,15 @@ def cg_symmetrized_pallas(
     def pad(x):
         return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, H - nr), (0, W - nc)))
 
+    # The edge-boundary weights multiply Dirichlet zeros and are dead in
+    # exact math; zero them so the circular rolls stay correct even when
+    # nr/nc are exact multiples of the tile sizes (no zero guard row or
+    # column to absorb the wrap).
+    wt = st.StencilCoefficients(
+        wE=wt.wE.at[..., -1].set(0.0), wW=wt.wW.at[..., 0].set(0.0),
+        wS=wt.wS.at[..., -1, :].set(0.0), wN=wt.wN.at[..., 0, :].set(0.0),
+        diag=wt.diag,
+    )
     wE, wW_, wS, wN = pad(wt.wE), pad(wt.wW), pad(wt.wS), pad(wt.wN)
     bp = pad(b)
 

@@ -290,6 +290,13 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
     hr = tl.hat_matrix(nr, strides[0])
     hc = tl.hat_matrix(nc, strides[1])
     Rrow, RrowT, Ccol, CcolT = _transfer_mats(hr, hc, BS, H, W, Hc, Wc)
+    # dead Dirichlet-edge weights zeroed so the circular lane rolls stay
+    # correct when nc is an exact multiple of 128 (no zero guard column);
+    # the row axis always has >= 1 guard row (H >= nr + 1)
+    wt = st.StencilCoefficients(
+        wE=wt.wE.at[..., -1].set(0.0), wW=wt.wW.at[..., 0].set(0.0),
+        wS=wt.wS, wN=wt.wN, diag=wt.diag,
+    )
     prep = Prepared2L(
         wE=padf(wt.wE), wW=padf(wt.wW), wS=padf(wt.wS), wN=padf(wt.wN),
         dh=padf(dh), sg=padc(coarse.sg), cbands=cbands,
@@ -319,6 +326,11 @@ def cg_2l_prepared(
     arrays.  Returns ``(x, iterations)`` unpadded, in that order."""
     B, nr, nc, BS, H, W, Hc, Wc, BP = dims
     if lmin is None:
+        if strides is None:
+            raise ValueError(
+                "cg_2l_prepared needs `strides` (to derive the default fine "
+                "window) or an explicit `lmin`"
+            )
         lmin = default_fine_window((nr, nc), strides)[0]
     bp = jnp.pad(
         b.astype(jnp.float32), ((0, BP - B), (0, H - nr), (0, W - nc))

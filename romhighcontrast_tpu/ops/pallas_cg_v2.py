@@ -237,6 +237,13 @@ def cg_symmetrized_pallas_v2(
         )
         return x.reshape(BP // BS, BS * H, W)
 
+    # dead Dirichlet-edge weights zeroed so the circular lane rolls stay
+    # correct when nc is an exact multiple of 128 (no zero guard column);
+    # the row axis always has >= 1 guard row (H >= nr + 1)
+    wt = st.StencilCoefficients(
+        wE=wt.wE.at[..., -1].set(0.0), wW=wt.wW.at[..., 0].set(0.0),
+        wS=wt.wS, wN=wt.wN, diag=wt.diag,
+    )
     wE, wW_, wS, wN = pad(wt.wE), pad(wt.wW), pad(wt.wS), pad(wt.wN)
     bp = pad(b)
 

@@ -273,6 +273,19 @@ def _cg_unit_diag(wt, b, tol, maxiter, stag_window=1_000_000):
     return out[0], out[5]
 
 
+def _round_rtol2(rounds, tol2, rr, inner_tol, dtype):
+    """Adaptive per-round inner tolerance (squared), shared by the phased
+    and generic refinement loops: ask each sample for the digits it still
+    needs (0.3 margin), floored at 1e-5 in round one (deeper first-round
+    asks make floored samples burn the outer cap — measured 9.7k vs 14.8k
+    solves/s) and at ``inner_tol`` afterwards."""
+    floor = jnp.where(rounds == 0, jnp.maximum(inner_tol, 1e-5), inner_tol)
+    return jnp.clip(
+        0.09 * tol2 / jnp.maximum(rr, jnp.finfo(dtype).tiny),
+        (floor * floor).astype(dtype), 1.0,
+    )
+
+
 def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                      maxiter_inner, max_rounds, inner_opts, interpret):
     """Phased iterative-refinement driver for the two-level kernel.
@@ -360,12 +373,8 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
             x, r, rr, rounds, iters, key, _ = state
             unconverged = (rr > tol2f)[..., None, None]
             rt = jnp.where(unconverged, r, 0.0).astype(jnp.float32) * s32
-            floor = jnp.where(rounds == 0,
-                              jnp.maximum(inner_tol, 1e-5), inner_tol)
-            rtol2 = jnp.clip(
-                0.09 * tol2f / jnp.maximum(rr, jnp.finfo(bf.dtype).tiny),
-                (floor * floor).astype(bf.dtype), 1.0,
-            ).astype(jnp.float32)
+            rtol2 = _round_rtol2(rounds, tol2f, rr, inner_tol,
+                                 bf.dtype).astype(jnp.float32)
             if use_v2:
                 # single-level kernel for the deep/straggler rounds: the
                 # two-level kernel's warped coarse roundtrip sums
@@ -730,18 +739,8 @@ def solve_pcg_mixed(
         rr = jnp.sum(r * r, axis=(-2, -1))
         unconverged = (rr > tol2)[..., None, None]
         rt = jnp.where(unconverged, s * r, 0.0).astype(inner_dtype)
-        # Adaptive round tolerance: ask each sample for the digits it still
-        # needs (0.3 margin).  The floor is round-dependent: round one asks
-        # a safe 1e-5 of everyone (cheap; deeper requests make samples at
-        # their f32 floor burn the iteration cap — measured 9.7k vs 14.8k
-        # solves/s), later rounds may ask down to inner_tol so the job
-        # finishes without an extra round.
-        floor = jnp.where(rounds == 0,
-                          jnp.maximum(inner_tol, 1e-5), inner_tol)
-        rtol2_s = jnp.clip(
-            0.09 * tol2 / jnp.maximum(rr, jnp.finfo(b.dtype).tiny),
-            (floor * floor).astype(b.dtype), 1.0,
-        ).astype(inner_dtype)
+        rtol2_s = _round_rtol2(rounds, tol2, rr, inner_tol,
+                               b.dtype).astype(inner_dtype)
         dt, it = inner_solve(rt, sort_key, rtol2_s)
         x = x + s * dt.astype(b.dtype)
         r = true_resid(x)

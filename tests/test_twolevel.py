@@ -110,6 +110,23 @@ def test_twolevel_non_square_geometry():
     assert err < 1e-9
 
 
+def test_lane_multiple_grid_no_wraparound():
+    """nc exactly 128 leaves NO zero guard column, so the kernel's circular
+    lane rolls would wrap real data unless the dead Dirichlet-edge weights
+    are zeroed (regression: silently wrong solutions at nc % 128 == 0)."""
+    space = FemSpace((1, 3), 43)  # interior grid 42 x 128
+    a = np.array([[[1.0, 1e6, 3.0]], [[2.0, 1.0, 1.0]]])
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (2,) + space.grid_shape
+    )
+    xp, infp = solvers.solve_pcg_mixed(w, rhs, tol=1e-9, inner="pallas_2l")
+    xx, _ = solvers.solve_pcg_mixed(w, rhs, tol=1e-9, inner="xla")
+    assert float(infp.relative_residual.max()) < 1e-9
+    np.testing.assert_allclose(np.asarray(xp), np.asarray(xx), rtol=1e-6,
+                               atol=1e-10)
+
+
 def test_adaptive_round_tolerance_respects_target():
     """solve(tol=...) must deliver ~tol residuals through the adaptive
     per-round schedule (not silently stop a decade early)."""
