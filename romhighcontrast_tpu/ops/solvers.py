@@ -68,7 +68,79 @@ def _coarse_apply(W: jnp.ndarray, Gchol: jnp.ndarray, r: jnp.ndarray) -> jnp.nda
     return jnp.einsum("...k,kij->...ij", y, W)
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter", "n_clusters"))
+def _geo_coarse_setup(w: st.StencilCoefficients, cluster_labels):
+    """Explicit inverse of the (masked, normalized) geometric coarse Gram
+    for the two-level smoother enrichment of the f64 deflated solver.
+
+    Coarse nodes whose hat support overlaps an interior stiff cluster are
+    REMOVED (identity rows/cols, zeroed scale): their directions belong to
+    the exact cluster deflation Q, and keeping them makes ``kappa(Ghat)``
+    contrast-sized — unfactorable on TPU (no f64 LU; f64 triangular solves
+    are ~m sequential steps and measured 60x slower per iteration than a
+    dense matvec).  The masked Gram has modest kappa, so: invert in f32
+    (supported) and polish with ONE f64 Newton step ``X(2I - GX)`` (dense
+    matmuls emulate fine).  Returns ``(hr, hc, sg_masked, Ginv)``.
+    """
+    from romhighcontrast_tpu.ops import twolevel as tl
+
+    nr, nc = w.diag.shape[-2:]
+    sr, sc = tl.coarse_stride(nr), tl.coarse_stride(nc)
+    op = tl.assemble_coarse(w, sr, sc)
+    m1r, m1c = op.sg.shape[-2:]
+    batch = op.sg.shape[:-2]
+    dt = w.diag.dtype
+    hr = jnp.asarray(tl.hat_matrix(nr, sr), dt)
+    hc = jnp.asarray(tl.hat_matrix(nc, sc), dt)
+
+    # node mask: support overlap with cluster vertices (labels > 0)
+    lab = (cluster_labels > 0).astype(dt)
+    ov = jnp.einsum("pi,...ij,qj->...pq", hr, lab, hc)
+    keep = (ov == 0).astype(dt)  # (..., m1r, m1c)
+    sg_m = op.sg * keep
+
+    # embed the 9 bands into the dense (m, m) matrix with shift matrices:
+    # Gd[.., p, q, p+dp, q+dq] = band[dp, dq][p, q]
+    Gd = jnp.zeros(batch + (m1r, m1c, m1r, m1c), dt)
+    for dp in (-1, 0, 1):
+        for dq in (-1, 0, 1):
+            # shift matrices S[p, r] = 1 iff r = p + dp
+            Sr = (jnp.arange(m1r)[:, None] + dp
+                  == jnp.arange(m1r)[None, :]).astype(dt)
+            Sc = (jnp.arange(m1c)[:, None] + dq
+                  == jnp.arange(m1c)[None, :]).astype(dt)
+            Gd = Gd + jnp.einsum(
+                "...pq,pr,qs->...pqrs",
+                op.bands[..., dp + 1, dq + 1, :, :], Sr, Sc,
+            )
+    m = m1r * m1c
+    G = Gd.reshape(batch + (m, m))
+    kf = keep.reshape(batch + (m,))
+    act = kf[..., :, None] * kf[..., None, :]
+    eye = jnp.eye(m, dtype=dt)
+    G = G * act + eye * (1.0 - act)
+    X = jnp.linalg.inv(G.astype(jnp.float32)).astype(dt)
+    Ginv = X @ (2.0 * eye - G @ X)  # one Newton polish in f64
+    return hr, hc, sg_m, Ginv
+
+
+def _geo_coarse_apply(hr, hc, sg, Ginv, r):
+    """Additive geometric coarse correction ``P G^{-1} P^T r`` (batched,
+    separable restriction/prolongation).  A Galerkin projection in the
+    K-inner product — spectrum of ``C K`` is {0, 1}, so the enrichment can
+    never amplify (no interaction with the cluster deflation needed)."""
+    m1r, m1c = sg.shape[-2:]
+    batch = r.shape[:-2]
+    c1 = jnp.einsum("pi,...ij->...pj", hr, r)
+    c = jnp.einsum("...pj,qj->...pq", c1, hc)
+    ch = (sg * c).reshape(batch + (m1r * m1c,))
+    y = jnp.einsum("...kl,...l->...k", Ginv, ch)
+    y2 = sg * y.reshape(batch + (m1r, m1c))
+    z1 = jnp.einsum("pi,...pq->...iq", hr, y2)
+    return jnp.einsum("...iq,qj->...ij", z1, hc)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter", "n_clusters",
+                                   "geo_coarse"))
 def solve_pcg_deflated(
     w: st.StencilCoefficients,
     rhs: jnp.ndarray,
@@ -76,6 +148,7 @@ def solve_pcg_deflated(
     n_clusters: int,
     tol: float = 1e-11,
     maxiter: int = 10_000,
+    geo_coarse: bool = False,
 ) -> tuple[jnp.ndarray, PCGInfo]:
     """float64 Balancing-preconditioned (BNN) Jacobi-PCG for batches with
     interior stiff clusters.
@@ -84,17 +157,32 @@ def solve_pcg_deflated(
     (to leading order) by their closed-region indicators X.  Standard PCG on
     K with the balancing preconditioner
 
-        M^{-1} r = Q r + P^T D^{-1} P r,   Q = X G^{-1} X^T,  P = I - K Q
+        M^{-1} r = Q r + P^T M~^{-1} P r,   Q = X G^{-1} X^T,  P = I - K Q
 
     is the robust deflation variant (the plain DEF1 projector was measured
     to diverge under rounding here).  Forward accuracy is eps64 * kappa —
     the same class as the reference's direct LU at contrast 1e10.
+
+    ``geo_coarse`` (EXPERIMENTAL, default off — measured net-negative on
+    TPU) enriches the smoother ``M~^{-1} = D^{-1} + P_g Gg^{-1} P_g^T``
+    with the cluster-masked geometric bilinear coarse space (ops.twolevel).
+    Measurements at the NotGeom-D1 config (256 samples, mesh 20):
+    iterations 274 -> 161, but wall-clock 303 -> 81 solves/s — the masked
+    space is weak for diagonal-cluster patterns (the interesting nodes are
+    exactly the masked ones) and the per-iteration f64 restriction/
+    prolongation einsums cost ~6x the rest of the iteration.  An UNMASKED
+    exact inverse reached 69 iterations but needs an f64 factorization the
+    TPU cannot do efficiently (no f64 LU; batched triangular solves are
+    ~m sequential steps, measured 5 solves/s).
     """
     from romhighcontrast_tpu.ops import clusters as cl
 
     diag = w.diag
     b = jnp.broadcast_to(rhs, diag.shape)
     Gchol = cl.cluster_gram_chol(w, cluster_labels, n_clusters)
+    use_geo = geo_coarse and min(diag.shape[-2:]) >= 5
+    if use_geo:
+        ghr, ghc, gsg, ggi = _geo_coarse_setup(w, cluster_labels)
 
     def Q(y):
         return cl.coarse_correct(w, cluster_labels, Gchol, y)
@@ -102,6 +190,8 @@ def solve_pcg_deflated(
     def precond(r):
         Pr = r - st.apply_operator(w, Q(r))
         y = Pr / diag
+        if use_geo:
+            y = y + _geo_coarse_apply(ghr, ghc, gsg, ggi, Pr)
         return Q(r) + y - Q(st.apply_operator(w, y))
 
     bnorm2 = jnp.sum(b * b, axis=(-2, -1))
