@@ -535,7 +535,7 @@ class FemSpace:
             self.load.reshape((1,) + self.grid_shape),
             (a2.shape[0],) + self.grid_shape,
         )
-        inner = "pallas_v2" if method == "pallas" else "xla"
+        inner = "pallas_2l" if method == "pallas" else "xla"
         x, _ = solvers.solve_pcg_mixed(
             w, rhs_grid, tol=tol, inner=inner,
             x0=x0.reshape((-1,) + self.grid_shape),
