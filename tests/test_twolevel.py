@@ -127,6 +127,23 @@ def test_lane_multiple_grid_no_wraparound():
                                atol=1e-10)
 
 
+def test_bf16_transfer_flag_still_converges():
+    """The optional bf16 coarse-transfer path (measured perf-neutral on
+    TPU, kept for bigger coarse spaces) must stay correct — the transfers
+    are preconditioner-internal, so convergence is the contract."""
+    space = FemSpace((2, 2), 8)
+    a = np.array([[[1.0, INFINIT_A], [10.0, 1.0]]])
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (1,) + space.grid_shape
+    )
+    _, info = solvers.solve_pcg_mixed(
+        w, rhs, tol=1e-10, inner="pallas_2l",
+        inner_opts=(("xfer_bf16", True),),
+    )
+    assert float(info.relative_residual.max()) < 1e-10
+
+
 def test_adaptive_round_tolerance_respects_target():
     """solve(tol=...) must deliver ~tol residuals through the adaptive
     per-round schedule (not silently stop a decade early)."""
