@@ -510,6 +510,7 @@ class FemSpace:
         n_modes: int = 12,
         method: str | None = None,
         tol: float = 1e-11,
+        return_info: bool = False,
     ) -> jnp.ndarray:
         """Two-phase batched solve: use the ROM to accelerate the FOM.
 
@@ -518,11 +519,18 @@ class FemSpace:
         the solution manifold is low-dimensional (that is the premise of the
         whole framework), so the prediction captures most of every solution
         and the iterative solve only refines the small remainder.
+
+        The warm-started solve runs through the same phased driver as the
+        cold path (including its single-level mop-up phases — the two-level
+        kernel alone floors at ~3e-9 true residual at fine meshes).  Pass
+        ``return_info=True`` to get the PCGInfo (per-sample residuals) of
+        the warm-started phase.
         """
         method = (method or self.method).lower()
         a = jnp.asarray(a, self.dtype)
         if a.ndim == 2:
-            return self.solve(a, method=method, tol=tol)
+            return self.solve(a, method=method, tol=tol,
+                              return_info=return_info)
         a2 = a.reshape((-1,) + a.shape[-2:])
         n_seed = min(n_seed, a2.shape[0])
         seed_sols = self.solve(a2[:n_seed], method=method, tol=tol)
@@ -535,12 +543,22 @@ class FemSpace:
             self.load.reshape((1,) + self.grid_shape),
             (a2.shape[0],) + self.grid_shape,
         )
-        inner = "pallas_2l" if method == "pallas" else "xla"
-        x, _ = solvers.solve_pcg_mixed(
+        inner = {"pallas": "pallas_2l", "pallas_v2": "pallas_v2",
+                 "pallas_v1": "pallas"}.get(method, "xla")
+        x, info = solvers.solve_pcg_mixed(
             w, rhs_grid, tol=tol, inner=inner,
             x0=x0.reshape((-1,) + self.grid_shape),
         )
-        return x.reshape(a.shape[:-2] + (self.vspace_dim,))
+        out = x.reshape(a.shape[:-2] + (self.vspace_dim,))
+        if return_info:
+            info = solvers.PCGInfo(
+                iterations=info.iterations.reshape(a.shape[:-2])
+                if jnp.ndim(info.iterations) > 0 else info.iterations,
+                relative_residual=info.relative_residual
+                .reshape(a.shape[:-2]),
+            )
+            return out, info
+        return out
 
     # ------------------------------------------------------------------ #
     # norms

@@ -36,10 +36,18 @@ from romhighcontrast_tpu.ops import stencil as st
 class PCGInfo(NamedTuple):
     """Solver diagnostics.
 
-    iterations: total inner iterations — per-sample ``(batch,)`` i32 on the
-      ``pallas_v2`` path (the fused kernel emits real counts), a scalar total
-      on the XLA paths, and the scalar sentinel ``-1`` on the legacy
-      single-sample pallas path (whose per-sample counts stay in-kernel).
+    iterations: solve work counts.
+
+      * ``pallas_v2`` / ``pallas_2l`` paths: per-sample ``(batch,)`` i32 in
+        **fine matvec-equivalents** — kernel iteration counts scaled by the
+        matvecs each costs (``deg + 1``: 13 for the deg-12 single-level
+        kernel, 4 for the default deg-3 two-level kernel), so counts are
+        comparable across kernels and across the phased driver's mixed
+        phases.  Coarse-sweep work (6 sweeps/outer on the two-level path, at
+        ~27 ns vs ~49 ns per fine matvec) is *not* included.
+      * XLA paths: a scalar total of while-loop iterations (1 matvec each).
+      * legacy single-sample pallas path: the scalar sentinel ``-1`` (its
+        per-sample counts stay in-kernel).
     relative_residual: (batch,) final ``||b - K x|| / ||b||``.
     """
 
@@ -377,7 +385,8 @@ def _round_rtol2(rounds, tol2, rr, inner_tol, dtype):
 
 
 def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
-                     maxiter_inner, max_rounds, inner_opts, interpret):
+                     maxiter_inner, max_rounds, inner_opts, interpret,
+                     x0=None):
     """Phased iterative-refinement driver for the two-level kernel.
 
     Round structure (measured on the paper config, 1000 samples):
@@ -503,7 +512,10 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
             x = x + sf * x3[inv].astype(bf.dtype)
             r = true_resid(x)
             rr_new = jnp.sum(r * r, axis=(-2, -1))
-            iters = iters + its[inv].astype(jnp.int32)
+            # normalize to fine matvec-equivalents (deg + 1 per kernel
+            # iteration) so counts are comparable across the mixed phases
+            mv = 13 if use_v2 else int(dict(inner_opts).get("deg", 3)) + 1
+            iters = iters + mv * its[inv].astype(jnp.int32)
             return (x, r, rr_new, rounds + 1, iters,
                     its[inv].astype(jnp.float32), rr)
 
@@ -543,7 +555,15 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
             .astype(jnp.float32))
     body, cond = make_round(w3, b3, s64, tol2, wt3, dh3, coarse,
                             fixed_key=key0)
-    state = (jnp.zeros_like(b3), b3, bnorm2, jnp.int32(0),
+    if x0 is None:
+        x_init, r_init, rr_init = jnp.zeros_like(b3), b3, bnorm2
+    else:
+        # warm start (e.g. a reduced-basis Galerkin prediction): refinement
+        # rounds start from its true residual
+        x_init = flat(jnp.asarray(x0, b3.dtype))
+        r_init = b3 - st.apply_operator(w3, x_init)
+        rr_init = jnp.sum(r_init * r_init, axis=(-2, -1))
+    state = (x_init, r_init, rr_init, jnp.int32(0),
              jnp.zeros((B,), jnp.int32), key0,
              jnp.full((B,), jnp.inf, b3.dtype))
     K = 128
@@ -707,14 +727,16 @@ def solve_pcg_mixed(
         # fixed 1e-4 (they floor too often below that).
         inner_tol = 3e-6 if inner == "pallas_2l" else 1e-4
 
-    if (inner == "pallas_2l" and x0 is None
-            and inner_dtype == jnp.float32
+    if (inner == "pallas_2l" and inner_dtype == jnp.float32
             and not (cluster_labels is not None and n_clusters > 0)):
         # hot path: phased driver (full-batch rounds, then compact
-        # straggler rounds) — see _mixed_2l_phased
+        # straggler rounds) — see _mixed_2l_phased.  Warm starts (x0) take
+        # the same route: the phased driver's single-level mop-up phases
+        # are what guarantee the TRUE-delivery floor at fine meshes (the 2l
+        # kernel alone floors at ~3e-9 at mesh >= 40).
         return _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                                 maxiter_inner, max_rounds, inner_opts,
-                                interpret)
+                                interpret, x0=x0)
 
     if inner == "pallas_2l":
         from romhighcontrast_tpu.ops import twolevel as tl
@@ -840,7 +862,11 @@ def solve_pcg_mixed(
             x = x + cl.coarse_correct(w, cluster_labels, Gchol, r)
             r = true_resid(x)
         if inner in ("pallas_v2", "pallas_2l"):
-            iters = iters + it.astype(jnp.int32)
+            # fine matvec-equivalents (deg + 1 per kernel iteration); see
+            # the PCGInfo docstring
+            mv = (int(dict(inner_opts).get("deg", 3)) + 1
+                  if inner == "pallas_2l" else 13)
+            iters = iters + mv * it.astype(jnp.int32)
             # real counts from this round are the best difficulty predictor
             # for the next round's block packing
             sort_key = it.astype(jnp.float32).reshape(-1)

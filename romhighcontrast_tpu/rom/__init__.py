@@ -23,9 +23,11 @@ from romhighcontrast_tpu.rom.estimators import (
     EstimatorTree,
     EstimatorNN,
 )
+from romhighcontrast_tpu.rom.online import OnlineGalerkin
 
 __all__ = [
     "ReducedBasis",
+    "OnlineGalerkin",
     "get_high_contrast_coefficient",
     "orthonormalize_base",
     "sort_orthogonalize_base",

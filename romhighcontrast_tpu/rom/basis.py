@@ -85,9 +85,25 @@ class ReducedBasis:
         )
 
     # ----------------------- online problems ------------------------- #
+    def online(self, sm) -> "OnlineGalerkin":
+        """The precomputed online solver for this basis (built once; cached
+        until the basis changes).  See rom.online.OnlineGalerkin."""
+        from romhighcontrast_tpu.rom.online import OnlineGalerkin
+
+        key = (id(sm), id(self.basis))
+        if getattr(self, "_online_key", None) != key:
+            self._online = OnlineGalerkin(sm, self.basis)
+            self._online_key = key
+        return self._online
+
     def forward_modeling(self, sm, a: jnp.ndarray) -> jnp.ndarray:
-        """Reduced Galerkin solve, lifted (reference: ReducedBasis.py:59-60)."""
-        return sm.forward_reduced(a, self.basis)
+        """Reduced Galerkin solve, lifted (reference: ReducedBasis.py:59-60).
+
+        Repeated calls with the same basis reuse the precomputed affine
+        family (rom.online) — the serving path is one fused program."""
+        if self.dim == 0:
+            return sm.forward_reduced(a, self.basis)
+        return self.online(sm).solve(a)
 
     def projection(self, sm, true_solutions: jnp.ndarray) -> jnp.ndarray:
         """H10-orthogonal projection (reference: ReducedBasis.py:62-63)."""

@@ -186,3 +186,33 @@ def test_basis_slicing_and_wiring(training_set):
     c = jnp.zeros((3, 1)).at[1, 0].set(1.0)
     est = sub.parameter_estimation_inverse(c)
     np.testing.assert_allclose(np.asarray(est[0]), np.asarray(sub.a[1]), rtol=1e-10)
+
+
+def test_online_galerkin_matches_forward_reduced(training_set):
+    """The precomputed online solver must reproduce forward_reduced exactly
+    and its fused error stats must match the direct H10 computation."""
+    from romhighcontrast_tpu.rom.online import OnlineGalerkin
+
+    space, a, sols, h1 = training_set
+    _, _, Vt = np.linalg.svd(sols, full_matrices=False)
+    V = jnp.asarray(Vt[:4])
+    online = OnlineGalerkin(space, V)
+    u_direct = np.asarray(space.forward_reduced(a, V))
+    u_online = np.asarray(online.solve(a))
+    np.testing.assert_allclose(u_online, u_direct, rtol=1e-10, atol=1e-12)
+    # coefficients lift to the same solutions
+    c = np.asarray(online.coefficients(a))
+    np.testing.assert_allclose(c @ np.asarray(V), u_online, rtol=1e-10,
+                               atol=1e-12)
+    # fused error stats == direct H10 norm of the lifted error
+    c2, err = online.solve_and_errors(a, sols)
+    err_direct = np.asarray(space.h10_norm(u_online - sols))
+    np.testing.assert_allclose(np.asarray(err), err_direct, rtol=1e-7,
+                               atol=1e-10)
+    # forward_modeling reuses the cached online solver
+    from romhighcontrast_tpu.rom.basis import ReducedBasis
+
+    rb = ReducedBasis().set(V, a[:4])
+    u_rb = np.asarray(rb.forward_modeling(space, a))
+    np.testing.assert_allclose(u_rb, u_direct, rtol=1e-10, atol=1e-12)
+    assert rb.online(space) is rb.online(space)

@@ -108,7 +108,8 @@ def test_iteration_counts_are_honest(problem):
     its = np.asarray(info.iterations)
     assert its.shape == (len(a),)
     assert (its > 0).all()
-    assert (its < 900 * 12).all()
+    # matvec-equivalent counts: 13 per deg-12 kernel iteration
+    assert (its < 900 * 12 * 13).all()
     # the easy sample (a == 1) must need fewer iterations than the stiff ones
     assert its[2] <= its.max()
     _, info1 = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="pallas")
@@ -132,7 +133,9 @@ def test_stall_exit_stops_floored_refinement():
         maxiter_inner=600,
     )
     its = np.asarray(info.iterations)
-    assert (its < 40 * 600).all()
+    # burning the full budget would be 40 rounds * 600 iters * 13
+    # matvec-equivalents; the stall exit must stop after a few rounds
+    assert (its < 5 * 600 * 13).all()
     # and the result is still at the f64 floor
     assert float(info.relative_residual.max()) < 1e-9
 
@@ -215,3 +218,66 @@ def test_pallas_v2_non_square_geometry_matches_oracle():
         ref = oracle.solve(a[k])
         err = np.max(np.abs(u[k] - ref)) / np.max(np.abs(ref))
         assert err < 1e-9, (k, err)
+
+
+def test_stencil_weights_split_matches_naive():
+    """The f32 two-sum weight build must reproduce the naive f64 weights to
+    ~1e-14 relative at contrast 1e10 (direct equivalence; previously only
+    covered indirectly through end-to-end solves)."""
+    rng = np.random.default_rng(7)
+    a = np.exp(rng.uniform(0, np.log(INFINIT_A), (3, 4, 4)))
+    a[0, 1, 2] = INFINIT_A
+    aj = jnp.asarray(a, jnp.float64)
+    w_split = st.stencil_weights_split(aj, 5)
+    w_naive = st.stencil_weights(st.cell_grid(aj, 5))
+    for ws, wn in zip(w_split, w_naive):
+        np.testing.assert_allclose(np.asarray(ws), np.asarray(wn),
+                                   rtol=1e-14)
+
+
+def test_geo_coarse_deflated_converges():
+    """The experimental geo_coarse=True smoother enrichment must preserve
+    the deflated solver's convergence (guard against silent rot — the flag
+    is measured net-negative on TPU but must stay correct)."""
+    from romhighcontrast_tpu.ops import clusters as cl
+
+    space = FemSpace((3, 3), 3)  # 8x8 interior grid (>= 5: geo space active)
+    a = np.ones((2, 3, 3))
+    a[0, 1, 1] = INFINIT_A  # interior stiff cluster
+    a[1, 1, 1] = 1e6
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (2,) + space.grid_shape
+    )
+    labels = cl.cluster_labels(jnp.asarray(a).reshape(2, 3, 3), space.N)
+    x_geo, info_geo = solvers.solve_pcg_deflated(
+        w, rhs, cluster_labels=labels, n_clusters=9, tol=1e-10,
+        geo_coarse=True,
+    )
+    x_ref, info_ref = solvers.solve_pcg_deflated(
+        w, rhs, cluster_labels=labels, n_clusters=9, tol=1e-10,
+    )
+    res_geo = np.asarray(info_geo.relative_residual)
+    res_ref = np.asarray(info_ref.relative_residual)
+    # the contrast-1e10 interior cluster floors at eps64*kappa (~1e-5);
+    # the enrichment must stay in the same accuracy class as the plain
+    # deflated path and fully converge the milder sample
+    assert res_geo[0] < 10 * max(res_ref[0], 1e-6)
+    # true-vs-recursive residual gap on the geo branch lands ~1.5e-9
+    assert res_geo[1] < 1e-8
+    # same solution as the plain deflated path up to the cluster floor
+    scale = np.max(np.abs(np.asarray(x_ref)))
+    np.testing.assert_allclose(np.asarray(x_geo), np.asarray(x_ref),
+                               atol=1e-4 * scale)
+
+
+def test_bootstrapped_info_propagates():
+    """solve_bootstrapped(return_info=True) must expose per-sample true
+    residuals so callers can detect a floored warm-started solve."""
+    space = FemSpace((2, 2), 6)
+    a = np.ones((8, 2, 2))
+    a[:4, 0, 0] = INFINIT_A
+    out = space.solve_bootstrapped(a, n_seed=4, n_modes=3, return_info=True)
+    u, info = out
+    assert info.relative_residual.shape == (8,)
+    assert float(np.max(np.asarray(info.relative_residual))) < 1e-9

@@ -64,9 +64,9 @@ def test_coarse_deflation_cuts_iterations_at_high_contrast():
     )
     _, info2l = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="pallas_2l")
     _, infov2 = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="pallas_v2")
-    # both counts are OUTER iterations; matvecs per outer: deg+1 = 4 for the
-    # two-level kernel, deg+1 = 13 for the single-level deg-12 kernel
-    assert int(info2l.iterations.max()) * 4 < int(infov2.iterations.max()) * 13
+    # both counts are in fine matvec-equivalents (see PCGInfo), so they are
+    # directly comparable: the two-level kernel must do less matvec work
+    assert int(info2l.iterations.max()) < int(infov2.iterations.max())
     assert float(info2l.relative_residual.max()) < 1e-10
 
 
@@ -80,7 +80,9 @@ def test_twolevel_iteration_counts_are_honest():
     _, info = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="pallas_2l")
     its = np.asarray(info.iterations)
     assert its.shape == (2,)
-    assert (its > 0).all() and (its < 64 * 12).all()
+    # matvec-equivalent counts: <= 64 outer/round * 12 rounds * 13
+    # matvecs/iteration (the worst phase's unit)
+    assert (its > 0).all() and (its < 64 * 12 * 13).all()
 
 
 def test_twolevel_small_grid_falls_back():
