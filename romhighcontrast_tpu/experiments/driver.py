@@ -80,6 +80,11 @@ class ExperimentResult:
     a_high_contrast: np.ndarray
     builders: Sequence = field(default_factory=list)
 
+    @property
+    def bases(self) -> dict:
+        """The built reduced bases keyed by builder name."""
+        return {rb.name: rb for rb in self.builders}
+
 
 def experiment(
     name: str,

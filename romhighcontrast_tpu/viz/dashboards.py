@@ -197,7 +197,66 @@ def visualize_samplers(sm, solutions, measurements_sampling_method_dict,
                            max_vn_dim, vary="sampler")
 
 
-visualize_all = visualize_state_estimation_methods  # fixed reference NameError
+def visualize_all(sm, solutions, measurements_sampling_method_dict,
+                  reduced_basis_dict, state_estimation_method_dict,
+                  max_vn_dim):
+    """Combined dashboard: one curve per (estimator x sampler) pair over a
+    shared control set (basis, noise, m, dim(Vn) range, error metric).
+
+    This is what the reference's ``visualize_all``
+    (functions4notebooks.py:408-489) intended — there it is broken by a
+    scoping NameError on its callback and only ever varied the estimator.
+    Here both the estimation methods AND the sensor-placement samplers are
+    multi-selects whose cartesian product becomes the curve family.
+    """
+    import matplotlib.pylab as plt
+
+    widgets, display = _widgets()
+    style = {"description_width": "initial"}
+    w = {}
+    w["error_metric"] = widgets.Dropdown(options=list(ERROR_METRICS),
+                                         description="Error metric: ",
+                                         style=style)
+    w["noise"] = widgets.FloatText(value=0, description="Noise: ", style=style)
+    w["m"] = widgets.IntText(value=50, description="Number of measurements:",
+                             style=style)
+    w["vn_range"] = widgets.IntRangeSlider(min=1, max=max_vn_dim,
+                                           value=(1, max_vn_dim),
+                                           description="dim(Vn) range: ",
+                                           style=style)
+    w["rb_method"] = widgets.Dropdown(options=list(reduced_basis_dict),
+                                      description="basis: ", style=style)
+    w["se_methods"] = widgets.SelectMultiple(
+        options=list(state_estimation_method_dict),
+        value=tuple(state_estimation_method_dict),
+        description="estimators: ", style=style)
+    w["sampler_names"] = widgets.SelectMultiple(
+        options=list(measurements_sampling_method_dict),
+        value=tuple(measurements_sampling_method_dict),
+        description="samplers: ", style=style)
+
+    def show(**kw):
+        for estimator_name in kw["se_methods"]:
+            for sampler_name in kw["sampler_names"]:
+                errors = _convergence_loop(
+                    sm, solutions, measurements_sampling_method_dict,
+                    reduced_basis_dict, state_estimation_method_dict,
+                    rb_method=kw["rb_method"], sampler_name=sampler_name,
+                    m=kw["m"], estimator_name=estimator_name,
+                    metric=kw["error_metric"], noise=kw["noise"],
+                    vn_range=kw["vn_range"],
+                )
+                plt.plot(np.arange(*kw["vn_range"]), errors, ".-",
+                         label=f"{estimator_name} / {sampler_name}")
+        plt.yscale("log")
+        plt.xlabel("dim(Vn)")
+        plt.ylabel(kw["error_metric"])
+        plt.grid()
+        plt.legend()
+        plt.show()
+
+    out = widgets.interactive_output(show, w)
+    display(widgets.VBox(list(w.values())), out)
 
 
 def vizualize_approximations(sm, measurements_sampling_method_dict,

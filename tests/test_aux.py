@@ -165,3 +165,40 @@ def test_field_gallery_single_unbatched_vector(tmp_path):
     fig, axes = comparison_gallery(space, u, u, resolution=13)
     assert axes.shape == (1, 2)
     plt.close(fig)
+
+
+def test_visualize_all_combined_dashboard_runs():
+    """visualize_all must be a real combined view (estimator x sampler
+    curve family), not an alias — its callback executes one convergence
+    loop per selected pair on construction."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import romhighcontrast_tpu.viz.dashboards as dash
+    from romhighcontrast_tpu.inverse import (
+        MEASUREMENT_SAMPLERS, STATE_ESTIMATORS,
+    )
+
+    assert dash.visualize_all is not dash.visualize_state_estimation_methods
+
+    space = FemSpace((2, 2), 4)
+    contrasts = np.array([1.0, 10.0, 100.0, 1e4])
+    a = np.ones((len(contrasts), 2, 2))
+    a[:, 0, 0] = contrasts
+    sols = np.asarray(space.solve(a))
+    basis_dict = {"PCA": np.linalg.svd(sols, full_matrices=False)[2][:3]}
+    calls = []
+    est = STATE_ESTIMATORS["least-squares"]
+
+    def counting_estimator(**kw):
+        calls.append(kw)
+        return est(**kw)
+
+    samplers = {k: MEASUREMENT_SAMPLERS[k]
+                for k in ("Sobol-points", "Grid")}
+    dash.visualize_all(
+        space, sols, samplers, basis_dict,
+        {"LS": counting_estimator, "LS2": counting_estimator},
+        max_vn_dim=3,
+    )
+    # 2 estimators x 2 samplers x vn_range (1..3) = 8 estimator calls
+    assert len(calls) == 8
