@@ -1,0 +1,252 @@
+"""Fused double-f32 refinement-round update kernel.
+
+One round of mixed-precision iterative refinement needs, besides the f32
+inner CG solve, a handful of high-precision operations that round 2 ran as
+emulated-f64 XLA passes (measured ~10-15 us/sample of the ~60 us total at
+the paper config — the dominant non-kernel cost):
+
+    x  <- x + d                     (correction update)
+    r  <- b - K x                   (true residual)
+    rr <- ||r||^2                   (convergence bookkeeping)
+    rt <- mask(r)                   (next round's inner rhs)
+
+This kernel fuses all four into ONE Pallas pass over the stacked sample
+blocks, carrying the scaled-space solution as an unevaluated double-f32
+(hi, lo) pair (ops/dd.py) and evaluating the residual with a compensated
+5-point stencil (Dekker two-products): ~2^-48 effective precision, ~15 f32
+matvec-equivalents of work instead of ~10-20x-emulated f64 arithmetic.
+
+Space/accuracy contract: everything lives in the Jacobi-symmetrized space
+``Kt = D^-1/2 K D^-1/2`` (unit diagonal EXACTLY by construction, so the
+diagonal term of the compensated matvec is just ``x`` itself).  On the fast
+(boundary-touching) solve path all scaled quantities are O(1)-bounded, so
+the dd evaluation reaches ~1e-14 relative — the interior-cluster cases
+where scaled-space evaluation breaks are routed to the f64 deflated solver
+long before this kernel (models/fem.py).  Convergence is still gated on the
+ORIGINAL-space residual norm: the kernel weighs the dot with ``diag`` so
+``rr = sum(D r_t^2) = ||r_orig||^2``.
+
+The final f64 certification pass (one per SOLVE, not per round) stays in
+the driver (ops/solvers.py:_mixed_2l_phased).
+
+Reference equivalent: the reference needs none of this — it solves in
+native f64 LAPACK (/root/reference/src/lib/SolutionsManagers.py:17-40).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from romhighcontrast_tpu.ops import dd
+from romhighcontrast_tpu.ops import stencil as st
+from romhighcontrast_tpu.ops.pallas_cg import _neighbor, _round_up
+
+
+def _dd_round_kernel(wEh_ref, wEl_ref, wWh_ref, wWl_ref, wSh_ref, wSl_ref,
+                     wNh_ref, wNl_ref, bth_ref, btl_ref, diag_ref,
+                     xh_ref, xl_ref, d_ref, tol2bb_ref,
+                     xh_out, xl_out, rt_out, rr_out, *, BS: int, H: int):
+    f32 = jnp.float32
+    wE = (wEh_ref[0], wEl_ref[0])
+    wW = (wWh_ref[0], wWl_ref[0])
+    wS = (wSh_ref[0], wSl_ref[0])
+    wN = (wNh_ref[0], wNl_ref[0])
+    bth, btl = bth_ref[0], btl_ref[0]
+    diag = diag_ref[0]
+    xh, xl = xh_ref[0], xl_ref[0]
+    d = d_ref[0]
+    tol2bb = tol2bb_ref[0]  # (BS, 1) absolute squared threshold
+    rows = wE[0].shape[0]  # BS * H
+
+    # inner-kernel divergence leaks NaN/inf through d for frozen samples;
+    # a zero correction keeps the carried state intact for them
+    d = jnp.where(jnp.isfinite(d), d, f32(0.0))
+
+    # x <- x + d, exactly (two-sum accumulate)
+    xh, xl = dd.dd_add_f32(xh, xl, d)
+
+    # r = (bt - x) + sum_dir w (x) x_nbr   (unit diagonal: the x term is
+    # exact; each neighbor product is a Dekker two-product)
+    ah, al = dd.dd_sub(bth, btl, xh, xl)
+    for (wh, wl), axis, shift in ((wE, 1, -1), (wW, 1, 1),
+                                  (wS, 0, -1), (wN, 0, 1)):
+        nh = _neighbor(xh, axis, shift)
+        nl = _neighbor(xl, axis, shift)
+        ph, pe = dd.dd_mul(wh, wl, nh, nl)
+        ah, al = dd.dd_add(ah, al, ph, pe)
+
+    # original-space norm: ||r||^2 = sum(D * rt^2) per sample (segment
+    # reduction as one MXU matmul, same induction as the CG kernels)
+    sid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 1) // H
+    kid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 0)
+    S = (sid == kid).astype(f32)
+    part = jnp.dot(S, diag * ah * ah, preferred_element_type=f32)
+    rr = jnp.sum(part, axis=1, keepdims=True)
+
+    active = (rr > tol2bb).astype(f32)
+    rt_out[0] = jnp.dot(S.T, active, preferred_element_type=f32) * ah
+    xh_out[0] = xh
+    xl_out[0] = xl
+    rr_out[0] = rr
+
+
+class DDOperands(NamedTuple):
+    """Per-sample (hi, lo) f32 pairs of the scaled operator/rhs, unblocked
+    ``(B, nr, nc)`` — the gatherable form (the compact straggler phase
+    indexes these before blocking)."""
+
+    wE: tuple
+    wW: tuple
+    wS: tuple
+    wN: tuple
+    bt: tuple
+    diag: jnp.ndarray  # f32 norm weights
+    s: tuple           # the scale D^{-1/2} as a dd pair (final combine)
+
+
+def build_dd_scaled(w3: st.StencilCoefficients, b3: jnp.ndarray
+                    ) -> DDOperands:
+    """Build the dd scaled operator ``Kt = D^-1/2 K D^-1/2`` and rhs
+    ``bt = D^-1/2 b`` from the f64 stencil weights WITHOUT any emulated-f64
+    symmetrize pass: the only f64 touches are the initial (hi, lo) splits;
+    the rsqrt and all products run as error-free f32 transforms (~2^-48
+    relative — validated against the f64 symmetrize in tests)."""
+    f32 = jnp.float32
+    dh_, dl_ = dd.dd_from_f64(w3.diag)
+    sh, sl = dd.dd_rsqrt(dh_, dl_)
+
+    def plane(name, axis, by):
+        wh_, wl_ = dd.dd_from_f64(getattr(w3, name))
+        th, tl_ = dd.dd_mul(wh_, wl_, sh, sl)
+        nh = st._shift(sh, axis, by)
+        nl = st._shift(sl, axis, by)
+        return dd.dd_mul(th, tl_, nh, nl)
+
+    bh, bl = dd.dd_from_f64(jnp.broadcast_to(b3, w3.diag.shape))
+    return DDOperands(
+        wE=plane("wE", -1, -1), wW=plane("wW", -1, 1),
+        wS=plane("wS", -2, -1), wN=plane("wN", -2, 1),
+        bt=dd.dd_mul(bh, bl, sh, sl),
+        diag=w3.diag.astype(f32), s=(sh, sl),
+    )
+
+
+def gather_dd(ops: DDOperands, idx) -> DDOperands:
+    """Index the sample axis (compact straggler phases)."""
+    g = lambda p: (p[0][idx], p[1][idx])
+    return DDOperands(wE=g(ops.wE), wW=g(ops.wW), wS=g(ops.wS),
+                      wN=g(ops.wN), bt=g(ops.bt), diag=ops.diag[idx],
+                      s=g(ops.s))
+
+
+class PreparedDD(NamedTuple):
+    """Blocked dd operands for the round-update kernel (same
+    (BP//BS, BS*H, W) layout as Prepared2L so the inner kernel and this one
+    share sample ordering and padding)."""
+
+    wEh: jnp.ndarray
+    wEl: jnp.ndarray
+    wWh: jnp.ndarray
+    wWl: jnp.ndarray
+    wSh: jnp.ndarray
+    wSl: jnp.ndarray
+    wNh: jnp.ndarray
+    wNl: jnp.ndarray
+    bth: jnp.ndarray
+    btl: jnp.ndarray
+    diag: jnp.ndarray
+
+
+def prepare_dd(ops: DDOperands, dims: tuple) -> PreparedDD:
+    """Block/pad the dd operand pairs.  ``dims`` comes from
+    pallas_cg_2l.prepare_2l (or dd_dims) so layouts agree with the inner
+    kernel's."""
+    B, nr, nc, BS, H, W, Hc, Wc, BP = dims
+
+    def padf(x):
+        x = jnp.pad(
+            x.astype(jnp.float32), ((0, BP - B), (0, H - nr), (0, W - nc))
+        )
+        return x.reshape(BP // BS, BS * H, W)
+
+    # zero the dead Dirichlet-edge weights (hi AND lo) so the circular lane
+    # rolls annihilate cross-sample leakage exactly like the CG kernels
+    wEh = padf(ops.wE[0].at[..., -1].set(0.0))
+    wEl = padf(ops.wE[1].at[..., -1].set(0.0))
+    wWh = padf(ops.wW[0].at[..., 0].set(0.0))
+    wWl = padf(ops.wW[1].at[..., 0].set(0.0))
+    return PreparedDD(
+        wEh=wEh, wEl=wEl, wWh=wWh, wWl=wWl,
+        wSh=padf(ops.wS[0]), wSl=padf(ops.wS[1]),
+        wNh=padf(ops.wN[0]), wNl=padf(ops.wN[1]),
+        bth=padf(ops.bt[0]), btl=padf(ops.bt[1]), diag=padf(ops.diag),
+    )
+
+
+def dd_dims(B: int, nr: int, nc: int) -> tuple:
+    """Standalone dims for phases that do not build a two-level prep (the
+    straggler phases use the single-level inner kernel); same padding and
+    block-size policy as pallas_cg_2l.prepare_2l."""
+    from romhighcontrast_tpu.ops.pallas_cg_2l import auto_block_size_2l
+
+    H = _round_up(nr + 1, 8)
+    W = _round_up(nc, 128)
+    BS = auto_block_size_2l(H, W)
+    BP = _round_up(B, BS)
+    return (B, nr, nc, BS, H, W, 0, 0, BP)
+
+
+def dd_round(prep: PreparedDD, dims: tuple, xh: jnp.ndarray, xl: jnp.ndarray,
+             d: jnp.ndarray, tol2bb: jnp.ndarray, interpret: bool = False):
+    """Apply one refinement-round update.
+
+    xh, xl, d: ``(B, nr, nc)`` f32 in the SAME sample order as ``prep``.
+    tol2bb: ``(B,)`` absolute squared original-space thresholds.
+    Returns ``(xh', xl', rt_next, rr)`` with rt_next zero-masked for
+    converged samples and ``rr = ||b - K x||^2`` in the original space.
+    """
+    B, nr, nc, BS, H, W, Hc, Wc, BP = dims
+
+    def padf(x):
+        x = jnp.pad(
+            x.astype(jnp.float32), ((0, BP - B), (0, H - nr), (0, W - nc))
+        )
+        return x.reshape(BP // BS, BS * H, W)
+
+    xh_p, xl_p, d_p = padf(xh), padf(xl), padf(d)
+    # padded rows: threshold inf so they always read as converged
+    t2 = jnp.pad(tol2bb.astype(jnp.float32), (0, BP - B),
+                 constant_values=jnp.inf).reshape(BP // BS, BS, 1)
+
+    fspec = pl.BlockSpec((1, BS * H, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, BS, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    with jax.enable_x64(False):
+        xh2, xl2, rt, rr = pl.pallas_call(
+            functools.partial(_dd_round_kernel, BS=BS, H=H),
+            grid=(BP // BS,),
+            in_specs=[fspec] * 11 + [fspec, fspec, fspec, vspec],
+            out_specs=(fspec, fspec, fspec, vspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((BP // BS, BS * H, W), jnp.float32),
+                jax.ShapeDtypeStruct((BP // BS, BS * H, W), jnp.float32),
+                jax.ShapeDtypeStruct((BP // BS, BS * H, W), jnp.float32),
+                jax.ShapeDtypeStruct((BP // BS, BS, 1), jnp.float32),
+            ),
+            interpret=interpret,
+        )(prep.wEh, prep.wEl, prep.wWh, prep.wWl, prep.wSh, prep.wSl,
+          prep.wNh, prep.wNl, prep.bth, prep.btl, prep.diag,
+          xh_p, xl_p, d_p, t2)
+
+    def unpad(x):
+        return x.reshape(BP, H, W)[:B, :nr, :nc]
+
+    return unpad(xh2), unpad(xl2), unpad(rt), rr.reshape(BP)[:B]

@@ -72,10 +72,21 @@ class OnlineGalerkin:
         self.F = space.reduced_family(self.V)
         #: (n,) reduced load
         self.B = space.reduced_rhs(self.V)
-        #: (n, n) H10 reduced Gram (error stats)
-        KV = space.apply_laplacian(self.V)
-        self.G1 = self.V @ KV.T
-        self._KV1 = KV  # (n, dim): K(1) V, reused for truth projections
+        # H10 error-stats operators are lazy: they need apply_laplacian,
+        # which only the FEM space provides (solve/coefficients work for
+        # any SolutionsManager, e.g. PolynomialSpace)
+        self._G1 = None
+
+    def _h10_ops(self):
+        if self._G1 is None:
+            KV = self.space.apply_laplacian(self.V)  # (n, dim)
+            self._G1 = self.V @ KV.T
+            self._KV1 = KV
+        return self._G1, self._KV1
+
+    @property
+    def G1(self):
+        return self._h10_ops()[0]
 
     @property
     def n(self) -> int:
@@ -101,8 +112,9 @@ class OnlineGalerkin:
         """One program: reduced assembly + solve + per-sample H10 error
         ``||c V - u_true||_H10`` (truth-dependent terms are computed inside
         the same jit; only (b,)-sized stats need a readback)."""
+        G1, KV1 = self._h10_ops()
         u = jnp.asarray(u_true, self.space.dtype)
-        K1u = u @ self._KV1.T  # (b, n)
+        K1u = u @ KV1.T  # (b, n)
         uK1u = jnp.sum(u * self.space.apply_laplacian(u), axis=-1)
-        return _online_errors(self.F, self.B, self.V, self.G1, K1u, uK1u,
+        return _online_errors(self.F, self.B, self.V, G1, K1u, uK1u,
                               self._a_flat(a))

@@ -1,0 +1,151 @@
+"""Double-f32 primitives and the fused refinement-round kernel.
+
+The dd state is the round-3 precision architecture: these tests pin the
+error-free-transform operand construction against the f64 symmetrize and
+the kernel's residual evaluation against f64 ground truth at the
+near-converged scale (where it must still resolve ~1e-13 relative)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+import romhighcontrast_tpu  # noqa: F401
+from romhighcontrast_tpu import FemSpace, INFINIT_A
+from romhighcontrast_tpu.ops import dd
+from romhighcontrast_tpu.ops import solvers
+from romhighcontrast_tpu.ops import stencil as st
+from romhighcontrast_tpu.ops import twolevel as tl
+from romhighcontrast_tpu.ops.pallas_cg_2l import prepare_2l
+from romhighcontrast_tpu.ops.pallas_dd_round import (
+    build_dd_scaled,
+    dd_dims,
+    dd_round,
+    gather_dd,
+    prepare_dd,
+)
+
+
+def _problem():
+    space = FemSpace((2, 2), 10)
+    a = np.ones((3, 2, 2))
+    a[0, 0, 0] = INFINIT_A
+    a[1, 1, 0] = 1e6
+    w = space.weights(jnp.asarray(a))
+    b = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (3,) + space.grid_shape
+    )
+    return space, w, b
+
+
+def test_dd_primitives_roundtrip():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(1e-8, 1e8, 256))
+    h, l = dd.dd_from_f64(x)
+    # (hi, lo) f32 carries ~48 bits vs f64's 53: roundtrip to ~2^-48
+    np.testing.assert_allclose(np.asarray(dd.dd_to_f64(h, l)),
+                               np.asarray(x), rtol=1e-14)
+    # dd_mul against f64
+    y = jnp.asarray(rng.uniform(0.5, 2.0, 256))
+    yh, yl = dd.dd_from_f64(y)
+    ph, pe = dd.dd_mul(h.astype(jnp.float32), l.astype(jnp.float32),
+                       yh.astype(jnp.float32), yl.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(dd.dd_to_f64(ph, pe)),
+                               np.asarray(x * y), rtol=1e-13)
+    # dd rsqrt reaches the dd floor
+    rh, rl = dd.dd_rsqrt(*map(lambda v: v.astype(jnp.float32),
+                              dd.dd_from_f64(x)))
+    np.testing.assert_allclose(np.asarray(dd.dd_to_f64(rh, rl)),
+                               1.0 / np.sqrt(np.asarray(x)), rtol=1e-13)
+
+
+def test_build_dd_scaled_matches_f64_symmetrize():
+    _, w, b = _problem()
+    ops = build_dd_scaled(w, b)
+    wt64, s64 = st.symmetrized_weights(w)
+    for name in ("wE", "wW", "wS", "wN"):
+        got = np.asarray(dd.dd_to_f64(*getattr(ops, name)))
+        want = np.asarray(getattr(wt64, name))
+        scale = np.max(np.abs(want))
+        np.testing.assert_allclose(got, want, atol=1e-13 * scale)
+    np.testing.assert_allclose(np.asarray(dd.dd_to_f64(*ops.bt)),
+                               np.asarray(s64 * b), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(dd.dd_to_f64(*ops.s)),
+                               np.asarray(s64), rtol=1e-13)
+
+
+def test_dd_round_resolves_near_converged_residual():
+    """At a 1e-13-relative residual the kernel's reported norm must agree
+    with the f64 ground truth to within its ~2e-13 evaluation floor."""
+    space, w, b = _problem()
+    ops = build_dd_scaled(w, b)
+    w32 = st.StencilCoefficients(*(v.astype(jnp.float32) for v in w))
+    wt3 = st.StencilCoefficients(wE=ops.wE[0], wW=ops.wW[0], wS=ops.wS[0],
+                                 wN=ops.wN[0], diag=jnp.ones_like(ops.diag))
+    strides = (tl.coarse_stride(19), tl.coarse_stride(19))
+    co = tl.assemble_coarse(w32, *strides)
+    _, dims = prepare_2l(wt3, jnp.sqrt(w32.diag), co, strides)
+    prepdd = prepare_dd(ops, dims)
+
+    x_acc, _ = solvers.solve_pcg_mixed(w, b, tol=1e-11, inner="xla")
+    _, s64 = st.symmetrized_weights(w)
+    xt = x_acc / s64
+    xh, xl = dd.dd_from_f64(xt)
+    zero = jnp.zeros((3, 19, 19), jnp.float32)
+    xh2, xl2, rt, rr = dd_round(prepdd, dims, xh, xl, zero,
+                                jnp.zeros(3, jnp.float32), interpret=True)
+    # state preserved exactly when d = 0
+    np.testing.assert_array_equal(np.asarray(xh2), np.asarray(xh))
+    r64 = b - st.apply_operator(w, x_acc)
+    rr64 = np.asarray(jnp.sum(r64 * r64, axis=(-2, -1)))
+    bb = np.asarray(jnp.sum(b * b, axis=(-2, -1)))
+    rel_true = np.sqrt(rr64 / bb)
+    rel_kern = np.sqrt(np.asarray(rr) / bb)
+    assert np.all(rel_kern < np.maximum(3 * rel_true, 5e-13)), (
+        rel_kern, rel_true)
+
+
+def test_dd_round_update_and_masking():
+    """x <- x + d exactly; converged samples get a zeroed next-round rhs."""
+    space, w, b = _problem()
+    ops = build_dd_scaled(w, b)
+    dims = dd_dims(3, 19, 19)
+    prepdd = prepare_dd(ops, dims)
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.standard_normal((3, 19, 19)) * 1e-3, jnp.float32)
+    zero = jnp.zeros((3, 19, 19), jnp.float32)
+    tol2bb = jnp.asarray([np.inf, 0.0, np.inf], jnp.float32)
+    xh, xl, rt, rr = dd_round(prepdd, dims, zero, zero, d, tol2bb,
+                              interpret=True)
+    # exact accumulate
+    np.testing.assert_allclose(
+        np.asarray(dd.dd_to_f64(xh, xl)), np.asarray(d, np.float64), rtol=0)
+    # sample 0 and 2 read as converged (inf threshold) -> masked rhs
+    assert np.all(np.asarray(rt[0]) == 0) and np.all(np.asarray(rt[2]) == 0)
+    assert np.any(np.asarray(rt[1]) != 0)
+    # gather_dd slices consistently
+    sub = gather_dd(ops, jnp.asarray([2, 0]))
+    np.testing.assert_array_equal(np.asarray(sub.diag[0]),
+                                  np.asarray(ops.diag[2]))
+
+
+def test_phased_dd_driver_matches_oracle_high_contrast():
+    """End-to-end: the dd-state phased driver must deliver f64-accurate
+    solutions across a contrast sweep (interpret mode)."""
+    from oracle import FemOracle
+
+    space = FemSpace((2, 2), 8)
+    oracle = FemOracle((2, 2), 8)
+    a = np.ones((4, 2, 2))
+    a[0, 0, 0] = INFINIT_A
+    a[1, 0, 1] = 1e8
+    a[2, 1, 0] = 1e4
+    w = space.weights(jnp.asarray(a))
+    b = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (4,) + space.grid_shape
+    )
+    x, info = solvers.solve_pcg_mixed(w, b, tol=1e-11, inner="pallas_2l")
+    assert float(info.relative_residual.max()) < 1e-10
+    for k in range(4):
+        ref = oracle.solve(a[k])
+        err = np.max(np.abs(np.asarray(x[k]).ravel() - ref))
+        assert err / np.max(np.abs(ref)) < 1e-9, (k, err)

@@ -281,3 +281,22 @@ def test_bootstrapped_info_propagates():
     u, info = out
     assert info.relative_residual.shape == (8,)
     assert float(np.max(np.asarray(info.relative_residual))) < 1e-9
+
+
+def test_solve_small_spd_mixed_matches_f64():
+    """The f32+refinement reduced solver must match the f64 Cholesky to
+    ~1e-12 on contrast-sized reduced systems."""
+    rng = np.random.default_rng(5)
+    n = 15
+    Q = rng.standard_normal((8, n, n))
+    # SPD with contrast-sized spread on the diagonal
+    scale = 10.0 ** rng.uniform(0, 10, (8, n))
+    K = jnp.asarray(np.einsum("bij,bkj->bik", Q, Q) + np.eye(n) * 1e-3)
+    K = K * jnp.asarray(scale[:, :, None] * scale[:, None, :]) ** 0.5
+    rhs = jnp.asarray(rng.standard_normal((8, n)))
+    x64 = solvers.solve_small_spd(K, rhs)
+    xm = solvers.solve_small_spd_mixed(K, rhs)
+    r64 = np.linalg.norm(np.asarray(rhs - jnp.einsum("bkl,bl->bk", K, x64)), axis=-1)
+    rm = np.linalg.norm(np.asarray(rhs - jnp.einsum("bkl,bl->bk", K, xm)), axis=-1)
+    bn = np.linalg.norm(np.asarray(rhs), axis=-1)
+    assert np.all(rm / bn < np.maximum(10 * r64 / bn, 1e-11)), (rm / bn, r64 / bn)
