@@ -121,7 +121,12 @@ def experiment(
     )
     from pathlib import Path
 
-    base = results_path if results_dir is None else Path(results_dir)
+    # resolve the default from the ENV at call time (not import time) so
+    # test fixtures and notebook runs can redirect persistence per call
+    import os as _os
+
+    base = (Path(_os.environ.get("ROMHC_RESULTS_PATH", results_path))
+            if results_dir is None else Path(results_dir))
     store = ExperimentStore(base / f"HighContrast_{name}")
     if verbose:
         print(f"========== experiment {name} -> {store.folder} ==========")

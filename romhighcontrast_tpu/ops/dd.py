@@ -21,19 +21,35 @@ native f64 (e.g. /root/reference/src/lib/SolutionsManagers.py:17-40).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _opaque(x):
+    """Hide a rounded intermediate from XLA's algebraic simplifier.
+
+    The error-free transforms depend on exact IEEE semantics of specific
+    op sequences; XLA's HLO simplifier applies real-arithmetic identities
+    (e.g. ``a - (a - b) -> b``) that are invalid in floating point and
+    were measured to collapse the whole dd Newton iteration into a plain
+    f32 computation under jit (eps32 results with perfect eager runs —
+    and neither ``--xla_cpu_enable_fast_math=false`` nor
+    ``--xla_allow_excess_precision=false`` disables those rewrites).
+    ``optimization_barrier`` makes the value opaque to the simplifier;
+    it lowers fine both in XLA and in Pallas/Mosaic kernels."""
+    return jax.lax.optimization_barrier(x)
 
 def two_sum(a, b):
     """Exact sum: a + b = s + e with s = fl(a + b)."""
-    s = a + b
-    t = s - a
+    s = _opaque(a + b)
+    t = _opaque(s - a)
     e = (a - (s - t)) + (b - t)
     return s, e
 
 
 def fast_two_sum(a, b):
     """Exact sum assuming |a| >= |b| (3 ops instead of 6)."""
-    s = a + b
+    s = _opaque(a + b)
     e = b - (s - a)
     return s, e
 
@@ -44,14 +60,15 @@ def split(a):
     The splitting constant (2^ceil(24/2) + 1 for f32) is constructed inside
     the function: a module-level jnp scalar would be a captured constant,
     which pallas kernels reject."""
-    c = jnp.float32(4097.0) * a
-    hi = c - (c - a)
+    c = _opaque(jnp.float32(4097.0) * a)
+    t = _opaque(c - a)
+    hi = c - t
     return hi, a - hi
 
 
 def two_prod(a, b):
     """Exact product: a * b = p + e with p = fl(a * b)."""
-    p = a * b
+    p = _opaque(a * b)
     ah, al = split(a)
     bh, bl = split(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
@@ -59,10 +76,19 @@ def two_prod(a, b):
 
 
 def dd_add(xh, xl, yh, yl):
-    """(xh, xl) + (yh, yl), renormalized."""
-    sh, se = two_sum(xh, yh)
-    te = xl + yl + se
-    return fast_two_sum(sh, te)
+    """(xh, xl) + (yh, yl), renormalized.
+
+    AccurateDWPlusDW (Joldes/Muller/Popescu 2017, Alg. 6; error <= 3u^2
+    for ARBITRARY inputs).  The obvious one-renormalization variant loses
+    to ~u relative error when the hi parts cancel — measured as a bimodal
+    1e-15/6e-8 residual split in the dd Gaussian elimination, where pivot
+    rows cancel routinely."""
+    sh, sl = two_sum(xh, yh)
+    th, tl = two_sum(xl, yl)
+    c = sl + th
+    vh, vl = fast_two_sum(sh, c)
+    w = tl + vl
+    return fast_two_sum(vh, w)
 
 
 def dd_add_f32(xh, xl, y):
@@ -109,6 +135,25 @@ def dd_rsqrt(xh, xl):
         ch, cl = dd_mul(eh, el, half * y_h, half * y_l)
         y_h, y_l = dd_add(y_h, y_l, ch, cl)
     return y_h, y_l
+
+
+def dd_recip(ah, al):
+    """dd-accurate 1/a from an f32 seed + two dd Newton steps.
+
+    The correction ``e = 2 - a r`` must be formed as a dd subtraction:
+    ``fl32(2 - th)`` with ``th ~ 1`` sits just OUTSIDE the Sterbenz range
+    (th < 2/2), so the f32 subtraction rounds away exactly the eps32-sized
+    information the step exists to recover (measured: the iteration
+    silently stalls at eps32 for ~half of all inputs)."""
+    rh = jnp.float32(1.0) / ah
+    rl = jnp.zeros_like(rh)
+    two = jnp.float32(2.0)
+    zero = jnp.zeros_like(rh)
+    for _ in range(2):
+        th, tl = dd_mul(ah, al, rh, rl)
+        eh, el = dd_add(two, zero, -th, -tl)
+        rh, rl = dd_mul(rh, rl, eh, el)
+    return rh, rl
 
 
 def dd_from_f64(x):

@@ -149,3 +149,28 @@ def test_phased_dd_driver_matches_oracle_high_contrast():
         ref = oracle.solve(a[k])
         err = np.max(np.abs(np.asarray(x[k]).ravel() - ref))
         assert err / np.max(np.abs(ref)) < 1e-9, (k, err)
+
+
+def test_dd_gaussian_elimination_eager():
+    """The unrolled dd elimination must match the f64 Cholesky solution on
+    contrast-sized reduced systems (eager: XLA:CPU's jit optimizer is
+    measured to break f32 EFT chains via excess-precision evaluation — the
+    TPU path, where this solver is actually routed, compiles it faithfully,
+    which is covered by the bench residual gates)."""
+    rng = np.random.default_rng(2)
+    n = 6
+    Q = rng.standard_normal((4, n, n))
+    scale = 10.0 ** rng.uniform(0, 5, (4, n))
+    K = jnp.asarray(np.einsum("bij,bkj->bik", Q, Q) + np.eye(n) * 1e-2)
+    K = K * jnp.asarray(scale[:, :, None] * scale[:, None, :]) ** 0.5
+    rhs = jnp.broadcast_to(jnp.asarray(rng.standard_normal(n)), (4, n))
+    Ah, Al = dd.dd_from_f64(K)
+    Uh, Ul, mults, pinvs = solvers._dd_factor(Ah, Al, n)
+    yh, yl = dd.dd_from_f64(rhs)
+    xh, xl = solvers._dd_factor_solve(Uh, Ul, mults, pinvs, yh, yl, n)
+    x = np.asarray(dd.dd_to_f64(xh, xl))
+    want = np.asarray(solvers._solve_small_spd_chol(K, rhs))
+    r = np.linalg.norm(np.asarray(rhs) - np.einsum("bkl,bl->bk", np.asarray(K), x), axis=-1)
+    bn = np.linalg.norm(np.asarray(rhs), axis=-1)
+    assert np.all(r / bn < 1e-10), r / bn
+    np.testing.assert_allclose(x, want, rtol=1e-6, atol=1e-12)
