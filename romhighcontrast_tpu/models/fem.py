@@ -474,11 +474,17 @@ class FemSpace:
                 # bucket total onto every sample
                 iters = iters.at[idx_f].set(jnp.int32(-1))
         if len(idx_c):
-            # quantize the deflated bucket to ONE canonical size (256, or
-            # the batch size when smaller): the f64 while_loop costs ~35 s
-            # per fresh shape on the remote compiler, while 200 repeated
-            # padding samples cost ~1 s of batch-synchronized iterations
-            pc = pad_idx(idx_c, min(256, B))
+            # quantize the deflated bucket to a power-of-two ladder
+            # (64, 128, 256, ...): the f64 while_loop costs ~35 s per fresh
+            # shape on the remote compiler, so sizes must be canonical —
+            # but per-iteration work scales with the padded width, and a
+            # typical study batch has only the contrast-corner samples in
+            # this bucket (measured: 33 of 256 -> padding to 256 made the
+            # dominant stage 4x slower than needed)
+            m = 64
+            while m < len(idx_c):
+                m *= 2
+            pc = pad_idx(idx_c, min(m, B))
             rc = rhs_flat if rhs_b is None else rhs_b[pc]
             rhs_grid = jnp.broadcast_to(
                 rc.reshape((1,) + self.grid_shape)

@@ -25,19 +25,46 @@ import jax
 import jax.numpy as jnp
 
 
-def _opaque(x):
-    """Hide a rounded intermediate from XLA's algebraic simplifier.
+import contextlib
+import threading
 
-    The error-free transforms depend on exact IEEE semantics of specific
-    op sequences; XLA's HLO simplifier applies real-arithmetic identities
-    (e.g. ``a - (a - b) -> b``) that are invalid in floating point and
-    were measured to collapse the whole dd Newton iteration into a plain
-    f32 computation under jit (eps32 results with perfect eager runs —
+_barrier_state = threading.local()
+
+
+@contextlib.contextmanager
+def with_barriers():
+    """Enable EFT optimization barriers while tracing (default: OFF).
+
+    XLA's HLO simplifier applies real-arithmetic identities (e.g.
+    ``a - (a - b) -> b``) that are invalid in floating point and were
+    measured to collapse the dd Newton iteration / Gaussian elimination
+    into plain f32 under jit (eps32 results with perfect eager runs —
     and neither ``--xla_cpu_enable_fast_math=false`` nor
-    ``--xla_allow_excess_precision=false`` disables those rewrites).
-    ``optimization_barrier`` makes the value opaque to the simplifier;
-    it lowers fine both in XLA and in Pallas/Mosaic kernels."""
-    return jax.lax.optimization_barrier(x)
+    ``--xla_allow_excess_precision=false`` disables the rewrites).
+    ``optimization_barrier`` on each rounded intermediate stops that,
+    but it also blocks FUSION: barrier-wrapping the bulk operand build
+    (build_dd_scaled, ~6M-element arrays) measured 20.6k -> 14.4k
+    solves/s at the paper config, while those chains are empirically
+    compiled faithfully anyway (the bench's INDEPENDENT f64 residual
+    gate passes without barriers).  Mosaic (Pallas TPU) has no barrier
+    lowering at all and does not apply the rewrites.
+
+    So: barriers default OFF; the small-system dd solvers
+    (solve_small_spd_dd, the online dd path) — where the collapse is
+    measured and the arrays are tiny — trace under this context."""
+    _barrier_state.on = getattr(_barrier_state, "on", 0) + 1
+    try:
+        yield
+    finally:
+        _barrier_state.on -= 1
+
+
+def _opaque(x):
+    """Optionally hide a rounded intermediate from XLA's simplifier —
+    active only under :func:`with_barriers` (see its docstring)."""
+    if getattr(_barrier_state, "on", 0):
+        return jax.lax.optimization_barrier(x)
+    return x
 
 def two_sum(a, b):
     """Exact sum: a + b = s + e with s = fl(a + b)."""

@@ -52,48 +52,51 @@ def _dd_round_kernel(wEh_ref, wEl_ref, wWh_ref, wWl_ref, wSh_ref, wSl_ref,
                      wNh_ref, wNl_ref, bth_ref, btl_ref, diag_ref,
                      xh_ref, xl_ref, d_ref, tol2bb_ref,
                      xh_out, xl_out, rt_out, rr_out, *, BS: int, H: int):
-    f32 = jnp.float32
-    wE = (wEh_ref[0], wEl_ref[0])
-    wW = (wWh_ref[0], wWl_ref[0])
-    wS = (wSh_ref[0], wSl_ref[0])
-    wN = (wNh_ref[0], wNl_ref[0])
-    bth, btl = bth_ref[0], btl_ref[0]
-    diag = diag_ref[0]
-    xh, xl = xh_ref[0], xl_ref[0]
-    d = d_ref[0]
-    tol2bb = tol2bb_ref[0]  # (BS, 1) absolute squared threshold
-    rows = wE[0].shape[0]  # BS * H
+    # NOTE: barriers are globally off by default (dd.with_barriers) — and
+    # Mosaic could not lower them anyway
+    if True:
+        f32 = jnp.float32
+        wE = (wEh_ref[0], wEl_ref[0])
+        wW = (wWh_ref[0], wWl_ref[0])
+        wS = (wSh_ref[0], wSl_ref[0])
+        wN = (wNh_ref[0], wNl_ref[0])
+        bth, btl = bth_ref[0], btl_ref[0]
+        diag = diag_ref[0]
+        xh, xl = xh_ref[0], xl_ref[0]
+        d = d_ref[0]
+        tol2bb = tol2bb_ref[0]  # (BS, 1) absolute squared threshold
+        rows = wE[0].shape[0]  # BS * H
 
-    # inner-kernel divergence leaks NaN/inf through d for frozen samples;
-    # a zero correction keeps the carried state intact for them
-    d = jnp.where(jnp.isfinite(d), d, f32(0.0))
+        # inner-kernel divergence leaks NaN/inf through d for frozen
+        # samples; a zero correction keeps the carried state intact
+        d = jnp.where(jnp.isfinite(d), d, f32(0.0))
 
-    # x <- x + d, exactly (two-sum accumulate)
-    xh, xl = dd.dd_add_f32(xh, xl, d)
+        # x <- x + d, exactly (two-sum accumulate)
+        xh, xl = dd.dd_add_f32(xh, xl, d)
 
-    # r = (bt - x) + sum_dir w (x) x_nbr   (unit diagonal: the x term is
-    # exact; each neighbor product is a Dekker two-product)
-    ah, al = dd.dd_sub(bth, btl, xh, xl)
-    for (wh, wl), axis, shift in ((wE, 1, -1), (wW, 1, 1),
-                                  (wS, 0, -1), (wN, 0, 1)):
-        nh = _neighbor(xh, axis, shift)
-        nl = _neighbor(xl, axis, shift)
-        ph, pe = dd.dd_mul(wh, wl, nh, nl)
-        ah, al = dd.dd_add(ah, al, ph, pe)
+        # r = (bt - x) + sum_dir w (x) x_nbr  (unit diagonal: the x term
+        # is exact; each neighbor product is a Dekker two-product)
+        ah, al = dd.dd_sub(bth, btl, xh, xl)
+        for (wh, wl), axis, shift in ((wE, 1, -1), (wW, 1, 1),
+                                      (wS, 0, -1), (wN, 0, 1)):
+            nh = _neighbor(xh, axis, shift)
+            nl = _neighbor(xl, axis, shift)
+            ph, pe = dd.dd_mul(wh, wl, nh, nl)
+            ah, al = dd.dd_add(ah, al, ph, pe)
 
-    # original-space norm: ||r||^2 = sum(D * rt^2) per sample (segment
-    # reduction as one MXU matmul, same induction as the CG kernels)
-    sid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 1) // H
-    kid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 0)
-    S = (sid == kid).astype(f32)
-    part = jnp.dot(S, diag * ah * ah, preferred_element_type=f32)
-    rr = jnp.sum(part, axis=1, keepdims=True)
+        # original-space norm: ||r||^2 = sum(D * rt^2) per sample (segment
+        # reduction as one MXU matmul, same induction as the CG kernels)
+        sid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 1) // H
+        kid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 0)
+        S = (sid == kid).astype(f32)
+        part = jnp.dot(S, diag * ah * ah, preferred_element_type=f32)
+        rr = jnp.sum(part, axis=1, keepdims=True)
 
-    active = (rr > tol2bb).astype(f32)
-    rt_out[0] = jnp.dot(S.T, active, preferred_element_type=f32) * ah
-    xh_out[0] = xh
-    xl_out[0] = xl
-    rr_out[0] = rr
+        active = (rr > tol2bb).astype(f32)
+        rt_out[0] = jnp.dot(S.T, active, preferred_element_type=f32) * ah
+        xh_out[0] = xh
+        xl_out[0] = xl
+        rr_out[0] = rr
 
 
 class DDOperands(NamedTuple):

@@ -1007,7 +1007,7 @@ def _dd_factor_solve(Ah, Al, mults, pinvs, yh, yl, n: int):
 
 
 @jax.jit
-def solve_small_spd_dd(K: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+def _solve_small_spd_dd_impl(K: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Batched small-SPD solve in double-f32 Gaussian elimination.
 
     The TPU's emulated-f64 batched Cholesky costs ~36 ms for (1000, 15, 15)
@@ -1036,6 +1036,16 @@ def solve_small_spd_dd(K: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     x = solve_one(rhs)
     r = rhs - jnp.einsum("...kl,...l->...k", K, x)
     return x + solve_one(r)
+
+
+def solve_small_spd_dd(K: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """See _solve_small_spd_dd_impl; traced under dd.with_barriers (the
+    HLO simplifier is measured to collapse the elimination's EFT chains
+    without them — the tiny (b, n, n) arrays make the fusion cost moot)."""
+    from romhighcontrast_tpu.ops import dd
+
+    with dd.with_barriers():
+        return _solve_small_spd_dd_impl(K, rhs)
 
 
 @jax.jit

@@ -153,9 +153,12 @@ class OnlineGalerkin:
         af = self._a_flat(a)
         if self._use_dd:
             ah, al = dd.dd_from_f64(af)
-            return _online_solve_dd(self._Fdd[0], self._Fdd[1],
-                                    self._Bdd[0], self._Bdd[1], self.V,
-                                    ah, al, lift)
+            # barriers on: the elimination's EFT chains collapse under the
+            # HLO simplifier without them (tiny arrays — fusion cost moot)
+            with dd.with_barriers():
+                return _online_solve_dd(self._Fdd[0], self._Fdd[1],
+                                        self._Bdd[0], self._Bdd[1], self.V,
+                                        ah, al, lift)
         return _online_solve(self.F, self.B, self.V, af, lift=lift)
 
     def coefficients(self, a) -> jnp.ndarray:
