@@ -459,18 +459,18 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
             diag=jnp.ones_like(o.diag),
         )
 
-    # difficulty sort ONCE (static conditioning proxy); phases A and C use
-    # fixed operands in this order, so rounds never re-gather ~150 MB
-    key0 = (-jnp.mean(jnp.log(w3.diag), axis=(-2, -1)).astype(f32))
-    order0 = jnp.argsort(key0)
-    inv0 = jnp.argsort(order0)
-    ops_s = gather_dd(ops, order0)
+    # NO global difficulty sort: full-batch rounds keep every block active
+    # regardless of order (round-2 measured fixed-vs-sorted full rounds a
+    # +-5% wash), and dropping it removes the gather of ~26 operand arrays
+    # (~5 ms/1000 samples of pure HBM copies).  The compact straggler
+    # phase keeps its per-round REAL-count sort — there packing is the
+    # point.
+    ops_s = ops
     wt_s = hi_weights(ops_s)
-    co_s = tl.CoarseOperator(bands=coarse.bands[order0],
-                             sg=coarse.sg[order0])
-    prep2l0, dims0 = prepare_2l(wt_s, dh3[order0], co_s, strides)
+    co_s = coarse
+    prep2l0, dims0 = prepare_2l(wt_s, dh3, co_s, strides)
     prepdd0 = prepare_dd(ops_s, dims0)
-    t2s = tol2bb[order0]
+    t2s = tol2bb
 
     def round_cond(t2, budget, until_few: int = 0):
         """Keep iterating while someone is unconverged AND someone is still
@@ -536,12 +536,12 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     if x0 is None:
         xh0, xl0 = zero3, zero3
         rt0 = ops_s.bt[0]
-        rr0 = bnorm2[order0].astype(f32)
+        rr0 = bnorm2.astype(f32)
     else:
         # warm start: one dd pass initializes the residual state from x0
         xt0 = (jnp.asarray(x0, b3.dtype).reshape((-1,) + grid_shape)
                * jnp.sqrt(w3.diag))
-        xh0, xl0 = dd.dd_from_f64(xt0[order0])
+        xh0, xl0 = dd.dd_from_f64(xt0)
         xh0, xl0, rt0, rr0 = dd_round(prepdd0, dims0, xh0, xl0, zero3, t2s,
                                       interpret=interpret)
 
@@ -590,11 +590,11 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
 
     # the ONLY f64 arithmetic of the whole solve: x = s * (hi + lo)
     xsh, xsl = dd.dd_mul(xh, xl, *ops_s.s)
-    x = dd.dd_to_f64(xsh, xsl)[inv0]
-    rel = jnp.sqrt(rr.astype(b3.dtype)[inv0] / safe_b)
+    x = dd.dd_to_f64(xsh, xsl)
+    rel = jnp.sqrt(rr.astype(b3.dtype) / safe_b)
     return (
         x.reshape(batch + grid_shape),
-        PCGInfo(iterations=iters[inv0].reshape(batch),
+        PCGInfo(iterations=iters.reshape(batch),
                 relative_residual=rel.reshape(batch)),
     )
 
