@@ -320,10 +320,16 @@ def cg_2l_prepared(
     clmax: float = 2.05,
     strides: tuple[int, int] | None = None,
     xfer_bf16: bool = False,
+    blocked_io: bool = False,
 ):
     """Run the kernel against prepared operands.  ``b`` ``(B, nr, nc)`` and
     ``rtol2`` ``(B,)`` must be in the SAME sample order as the prepared
-    arrays.  Returns ``(x, iterations)`` unpadded, in that order."""
+    arrays.  Returns ``(x, iterations)`` unpadded, in that order.
+
+    ``blocked_io=True``: ``b`` arrives and ``x`` is returned in the blocked
+    ``(BP//BS, BS*H, W)`` layout (the dd refinement driver keeps its state
+    blocked across rounds; the per-round pad/unpad copies are pure HBM
+    traffic)."""
     B, nr, nc, BS, H, W, Hc, Wc, BP = dims
     if lmin is None:
         if strides is None:
@@ -332,7 +338,7 @@ def cg_2l_prepared(
                 "window) or an explicit `lmin`"
             )
         lmin = default_fine_window((nr, nc), strides)[0]
-    bp = jnp.pad(
+    bp = b if blocked_io else jnp.pad(
         b.astype(jnp.float32), ((0, BP - B), (0, H - nr), (0, W - nc))
     ).reshape(BP // BS, BS * H, W)
     rt2 = jnp.pad(rtol2.astype(jnp.float32), (0, BP - B),
@@ -370,6 +376,8 @@ def cg_2l_prepared(
             interpret=interpret,
         )(prep.wE, prep.wW, prep.wS, prep.wN, bp, prep.dh, prep.sg,
           *prep.cbands, rt2, prep.Rrow, prep.RrowT, prep.Ccol, prep.CcolT)
+    if blocked_io:
+        return out, its.reshape(BP)[:B]
     out = out.reshape(BP, H, W)
     return out[:B, :nr, :nc], its.reshape(BP)[:B]
 

@@ -206,13 +206,20 @@ def dd_dims(B: int, nr: int, nc: int) -> tuple:
 
 
 def dd_round(prep: PreparedDD, dims: tuple, xh: jnp.ndarray, xl: jnp.ndarray,
-             d: jnp.ndarray, tol2bb: jnp.ndarray, interpret: bool = False):
+             d: jnp.ndarray, tol2bb: jnp.ndarray, interpret: bool = False,
+             blocked_state: bool = False, d_blocked: bool = False):
     """Apply one refinement-round update.
 
     xh, xl, d: ``(B, nr, nc)`` f32 in the SAME sample order as ``prep``.
     tol2bb: ``(B,)`` absolute squared original-space thresholds.
     Returns ``(xh', xl', rt_next, rr)`` with rt_next zero-masked for
     converged samples and ``rr = ||b - K x||^2`` in the original space.
+    With ``blocked_state=True`` the carried state (xh, xl and the returned
+    xh', xl', rt') lives in the blocked ``(BP//BS, BS*H, W)`` layout across
+    rounds — the per-round pad/unpad copies (7 x ~70 MB per round at the
+    paper config) disappear; only ``rr`` is returned per-sample.  ``d`` may
+    be blocked or per-sample (``d_blocked``) — the single-level straggler
+    kernel returns per-sample corrections.
     """
     B, nr, nc, BS, H, W, Hc, Wc, BP = dims
 
@@ -222,7 +229,11 @@ def dd_round(prep: PreparedDD, dims: tuple, xh: jnp.ndarray, xl: jnp.ndarray,
         )
         return x.reshape(BP // BS, BS * H, W)
 
-    xh_p, xl_p, d_p = padf(xh), padf(xl), padf(d)
+    if blocked_state:
+        xh_p, xl_p = xh, xl
+    else:
+        xh_p, xl_p = padf(xh), padf(xl)
+    d_p = d if d_blocked else padf(d)
     # padded rows: threshold inf so they always read as converged
     t2 = jnp.pad(tol2bb.astype(jnp.float32), (0, BP - B),
                  constant_values=jnp.inf).reshape(BP // BS, BS, 1)
@@ -249,7 +260,11 @@ def dd_round(prep: PreparedDD, dims: tuple, xh: jnp.ndarray, xl: jnp.ndarray,
           prep.wNh, prep.wNl, prep.bth, prep.btl, prep.diag,
           xh_p, xl_p, d_p, t2)
 
+    rr_out = rr.reshape(BP)[:B]
+    if blocked_state:
+        return xh2, xl2, rt, rr_out
+
     def unpad(x):
         return x.reshape(BP, H, W)[:B, :nr, :nc]
 
-    return unpad(xh2), unpad(xl2), unpad(rt), rr.reshape(BP)[:B]
+    return unpad(xh2), unpad(xl2), unpad(rt), rr_out

@@ -495,7 +495,11 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
 
         return c
 
-    def make_body(use_v2, wtX, prepddX, dimsX, t2X, prep2lX=None):
+    def make_body(use_v2, wtX, prepddX, dimsX, t2X, prep2lX=None,
+                  blocked=False):
+        BX, nrX, ncX, _, HX, WX = dimsX[:6]
+        BPX = dimsX[8]
+
         def body(state):
             xh, xl, rt, rr, rounds, iters, key, _ = state
             rtol2 = _round_rtol2(rounds, t2X, rr, inner_tol, f32)
@@ -506,14 +510,17 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
 
                 # per-round difficulty sort: late rounds have few active
                 # samples, and packing them into few blocks is the point
+                rt_s = (rt.reshape(BPX, HX, WX)[:BX, :nrX, :ncX]
+                        if blocked else rt)
                 order = jnp.argsort(key)
                 inv = jnp.argsort(order)
                 wts = st.StencilCoefficients(*(v[order] for v in wtX))
                 x3, its = cg_symmetrized_pallas_v2(
-                    wts, rt[order], tol=1e-4, maxiter=maxiter_inner,
+                    wts, rt_s[order], tol=1e-4, maxiter=maxiter_inner,
                     interpret=interpret,
                 )
                 d, its, mv = x3[inv], its[inv], 13
+                d_blocked = False
             else:
                 d, its = cg_2l_prepared(
                     prep2lX, dimsX, rt, rtol2,
@@ -521,35 +528,57 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                     # the 3e-6 floor; a floored sample must not drag its
                     # block for the full budget
                     maxiter=min(maxiter_inner, 64), interpret=interpret,
-                    strides=strides, **dict(inner_opts),
+                    strides=strides, blocked_io=blocked,
+                    **dict(inner_opts),
                 )
                 mv = mv2l
+                d_blocked = blocked
             xh, xl, rt, rr_new = dd_round(prepddX, dimsX, xh, xl, d, t2X,
-                                          interpret=interpret)
+                                          interpret=interpret,
+                                          blocked_state=blocked,
+                                          d_blocked=d_blocked)
             iters = iters + mv * its.astype(jnp.int32)
             return (xh, xl, rt, rr_new, rounds + 1, iters,
                     its.astype(f32), rr)
 
         return body
 
-    zero3 = jnp.zeros((B,) + grid_shape, f32)
+    # phases A and C carry the state in the BLOCKED kernel layout — the
+    # per-round pad/unpad copies (7 x ~70 MB at the paper config) are pure
+    # HBM traffic; only the compact phase B (K samples) and the final
+    # combine touch per-sample shapes
+    B0, nr0, nc0, BS0, H0, W0 = dims0[:6]
+    BP0 = dims0[8]
+
+    def pad_block(x):
+        x = jnp.pad(x.astype(f32),
+                    ((0, BP0 - B0), (0, H0 - nr0), (0, W0 - nc0)))
+        return x.reshape(BP0 // BS0, BS0 * H0, W0)
+
+    def to_samples(xb):
+        return xb.reshape(BP0, H0, W0)[:B, :nr0, :nc0]
+
+    zero_b = jnp.zeros((BP0 // BS0, BS0 * H0, W0), f32)
     if x0 is None:
-        xh0, xl0 = zero3, zero3
-        rt0 = ops_s.bt[0]
+        xh0, xl0 = zero_b, zero_b
+        rt0 = prepdd0.bth  # blocked bt hi — free (reused from the prep)
         rr0 = bnorm2.astype(f32)
     else:
         # warm start: one dd pass initializes the residual state from x0
         xt0 = (jnp.asarray(x0, b3.dtype).reshape((-1,) + grid_shape)
                * jnp.sqrt(w3.diag))
-        xh0, xl0 = dd.dd_from_f64(xt0)
-        xh0, xl0, rt0, rr0 = dd_round(prepdd0, dims0, xh0, xl0, zero3, t2s,
-                                      interpret=interpret)
+        hh, ll = dd.dd_from_f64(xt0)
+        xh0, xl0 = pad_block(hh), pad_block(ll)
+        xh0, xl0, rt0, rr0 = dd_round(prepdd0, dims0, xh0, xl0, zero_b,
+                                      t2s, interpret=interpret,
+                                      blocked_state=True, d_blocked=True)
 
     state = (xh0, xl0, rt0, rr0, jnp.int32(0), jnp.zeros((B,), jnp.int32),
              jnp.zeros((B,), f32), jnp.full((B,), jnp.inf, f32))
     K = 128
     phase_b = B >= 2 * K and max_rounds > 2
-    bodyA = make_body(False, wt_s, prepdd0, dims0, t2s, prep2lX=prep2l0)
+    bodyA = make_body(False, wt_s, prepdd0, dims0, t2s, prep2lX=prep2l0,
+                      blocked=True)
     state = lax.while_loop(
         round_cond(t2s, max_rounds, until_few=K if phase_b else 0),
         bodyA, state,
@@ -562,16 +591,26 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         dimsK = dd_dims(K, nr, nc)
         prepddK = prepare_dd(opsK, dimsK)
         t2K = t2s[idx]
+
+        def gather_block(xb):
+            return xb.reshape(BP0, H0, W0)[idx, :nr0, :nc0]
+
         # per-phase budget + reset improvement baseline: a sample that
         # stalled under the previous phase's kernel may still improve here
-        stK = (xh[idx], xl[idx], rt[idx], rr[idx], rounds, iters[idx],
-               key[idx], jnp.full((K,), jnp.inf, f32))
+        stK = (gather_block(xh), gather_block(xl), gather_block(rt),
+               rr[idx], rounds, iters[idx], key[idx],
+               jnp.full((K,), jnp.inf, f32))
         bodyK = make_body(True, hi_weights(opsK), prepddK, dimsK, t2K)
         stK = lax.while_loop(round_cond(t2K, rounds + max_rounds), bodyK,
                              stK)
-        xh = xh.at[idx].set(stK[0])
-        xl = xl.at[idx].set(stK[1])
-        rt = rt.at[idx].set(stK[2])
+
+        def scatter_block(xb, xs):
+            flat = xb.reshape(BP0, H0, W0)
+            return flat.at[idx, :nr0, :nc0].set(xs).reshape(xb.shape)
+
+        xh = scatter_block(xh, stK[0])
+        xl = scatter_block(xl, stK[1])
+        rt = scatter_block(rt, stK[2])
         rr = rr.at[idx].set(stK[3])
         rounds = stK[4]
         iters = iters.at[idx].set(stK[5])
@@ -580,16 +619,16 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     # are still unconverged-and-improving; single-level inner so batches
     # where more than K samples sit at the two-level kernel's f32 floor
     # still reach the asked tolerance
-    bodyC = make_body(True, wt_s, prepdd0, dims0, t2s)
+    bodyC = make_body(True, wt_s, prepdd0, dims0, t2s, blocked=True)
     state = (xh, xl, rt, rr, rounds, iters, key,
              jnp.full((B,), jnp.inf, f32))
     state = lax.while_loop(round_cond(t2s, rounds + max_rounds), bodyC,
                            state)
-    xh, xl, rt, rr = state[0], state[1], state[2], state[3]
+    xh, xl, rr = state[0], state[1], state[3]
     iters = state[5]
 
     # the ONLY f64 arithmetic of the whole solve: x = s * (hi + lo)
-    xsh, xsl = dd.dd_mul(xh, xl, *ops_s.s)
+    xsh, xsl = dd.dd_mul(to_samples(xh), to_samples(xl), *ops_s.s)
     x = dd.dd_to_f64(xsh, xsl)
     rel = jnp.sqrt(rr.astype(b3.dtype) / safe_b)
     return (
