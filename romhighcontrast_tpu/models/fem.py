@@ -56,7 +56,8 @@ def _solve_mixed_from_a(a, rhs, N, grid_shape, tol, inner, inner_tol=None,
         rhs_grid = rhs.reshape(batch + grid_shape)
     return solvers.solve_pcg_mixed(w, rhs_grid, tol=tol, inner=inner,
                                    inner_tol=inner_tol,
-                                   inner_opts=inner_opts)
+                                   inner_opts=inner_opts,
+                                   a_blocks=a, block_N=N)
 
 
 @partial(jax.jit, static_argnames=("grid_shape",))

@@ -140,6 +140,62 @@ def build_dd_scaled(w3: st.StencilCoefficients, b3: jnp.ndarray
     )
 
 
+def build_dd_scaled_from_blocks(a: jnp.ndarray, N: int, b3: jnp.ndarray):
+    """Like :func:`build_dd_scaled`, but starting from the BLOCK
+    coefficients ``a (B, nrb, ncb)`` — no f64 full-grid array is ever read
+    or written: the only f64 touches are the tiny block-coefficient split
+    and the rhs split.  Edge weights are exact dd averages of the cell
+    coefficients (two-sum + an exact power-of-two scale), the diagonal
+    their dd sum, and the symmetrize runs as dd products — everything
+    matches the f64 pipeline to ~2^-48 (tested).
+
+    Returns ``(DDOperands, w32)`` where ``w32`` are the f32 unscaled
+    stencil weights (= hi parts + dd diagonal hi), for the coarse-operator
+    assembly and the Jacobi warp."""
+    f32 = jnp.float32
+    ah64, al64 = dd.dd_from_f64(a)
+    chi = st.cell_grid(ah64.astype(f32), N)
+    clo = st.cell_grid(al64.astype(f32), N)
+
+    def corner(c, dr, dc):
+        sl_r = slice(1, None) if dr else slice(None, -1)
+        sl_c = slice(1, None) if dc else slice(None, -1)
+        return c[..., sl_r, sl_c]
+
+    def avg(r1, c1, r2, c2):
+        x1, y1 = corner(chi, r1, c1), corner(clo, r1, c1)
+        x2, y2 = corner(chi, r2, c2), corner(clo, r2, c2)
+        s, e = dd.two_sum(x1, x2)
+        h, l = dd.fast_two_sum(s, e + (y1 + y2))
+        return jnp.float32(0.5) * h, jnp.float32(0.5) * l
+
+    wE = avg(1, 1, 0, 1)
+    wW = avg(1, 0, 0, 0)
+    wS = avg(1, 1, 1, 0)
+    wN = avg(0, 1, 0, 0)
+    dh_, dl_ = dd.dd_add(*wE, *wW)
+    dh_, dl_ = dd.dd_add(dh_, dl_, *wS)
+    dh_, dl_ = dd.dd_add(dh_, dl_, *wN)
+    sh, sl = dd.dd_rsqrt(dh_, dl_)
+
+    def plane(whl, axis, by):
+        th, tl_ = dd.dd_mul(whl[0], whl[1], sh, sl)
+        nh = st._shift(sh, axis, by)
+        nl = st._shift(sl, axis, by)
+        return dd.dd_mul(th, tl_, nh, nl)
+
+    bh, bl = dd.dd_from_f64(jnp.broadcast_to(b3, dh_.shape))
+    ops = DDOperands(
+        wE=plane(wE, -1, -1), wW=plane(wW, -1, 1),
+        wS=plane(wS, -2, -1), wN=plane(wN, -2, 1),
+        bt=dd.dd_mul(bh, bl, sh, sl),
+        diag=dh_, s=(sh, sl),
+    )
+    w32 = st.StencilCoefficients(wE=wE[0], wW=wW[0], wS=wS[0], wN=wN[0],
+                                 diag=dh_)
+    return ops, w32
+
+
 def gather_dd(ops: DDOperands, idx) -> DDOperands:
     """Index the sample axis (compact straggler phases)."""
     g = lambda p: (p[0][idx], p[1][idx])

@@ -386,7 +386,7 @@ def _round_rtol2(rounds, tol2, rr, inner_tol, dtype):
 
 def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                      maxiter_inner, max_rounds, inner_opts, interpret,
-                     x0=None):
+                     x0=None, a_blocks=None, block_N=None):
     """Phased iterative-refinement driver, double-f32 state end-to-end.
 
     Round structure (measured on the paper config, 1000 samples):
@@ -424,7 +424,8 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         cg_2l_prepared, prepare_2l,
     )
     from romhighcontrast_tpu.ops.pallas_dd_round import (
-        build_dd_scaled, dd_dims, dd_round, gather_dd, prepare_dd,
+        build_dd_scaled, build_dd_scaled_from_blocks, dd_dims, dd_round,
+        gather_dd, prepare_dd,
     )
 
     f32 = jnp.float32
@@ -445,10 +446,17 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     safe_b = jnp.where(bnorm2 == 0, 1.0, bnorm2)
     tol2bb = ((tol * tol) * safe_b).astype(f32)
 
-    ops = build_dd_scaled(w3, b3)
-    # coarse operator / warp for the two-level inner: plain f32 precision
-    # suffices (preconditioner-side only)
-    w32 = st.StencilCoefficients(*(v.astype(f32) for v in w3))
+    if a_blocks is not None:
+        # EFT pipeline straight from the block coefficients — the f64
+        # stencil-weight arrays are never materialized (XLA dead-code
+        # eliminates the caller's build), saving ~5 full-grid f64 passes
+        a3 = jnp.asarray(a_blocks).reshape((-1,) + a_blocks.shape[-2:])
+        ops, w32 = build_dd_scaled_from_blocks(a3, block_N, b3)
+    else:
+        ops = build_dd_scaled(w3, b3)
+        # coarse operator / warp for the two-level inner: plain f32
+        # precision suffices (preconditioner-side only)
+        w32 = st.StencilCoefficients(*(v.astype(f32) for v in w3))
     dh3 = jnp.sqrt(w32.diag)
     coarse = tl.assemble_coarse(w32, *strides)
     mv2l = int(dict(inner_opts).get("deg", 3)) + 1
@@ -565,8 +573,10 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         rr0 = bnorm2.astype(f32)
     else:
         # warm start: one dd pass initializes the residual state from x0
+        from romhighcontrast_tpu.ops import dd as _dd
+
         xt0 = (jnp.asarray(x0, b3.dtype).reshape((-1,) + grid_shape)
-               * jnp.sqrt(w3.diag))
+               / _dd.dd_to_f64(*ops.s))
         hh, ll = dd.dd_from_f64(xt0)
         xh0, xl0 = pad_block(hh), pad_block(ll)
         xh0, xl0, rt0, rr0 = dd_round(prepdd0, dims0, xh0, xl0, zero_b,
@@ -640,7 +650,8 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
 
 @partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter_inner",
                                    "max_rounds", "inner_dtype", "inner",
-                                   "stag_window", "n_clusters", "inner_opts"))
+                                   "stag_window", "n_clusters", "inner_opts",
+                                   "block_N"))
 def solve_pcg_mixed(
     w: st.StencilCoefficients,
     rhs: jnp.ndarray,
@@ -655,6 +666,8 @@ def solve_pcg_mixed(
     cluster_labels: jnp.ndarray | None = None,
     n_clusters: int = 0,
     inner_opts: tuple = (),
+    a_blocks: jnp.ndarray | None = None,
+    block_N: int | None = None,
 ) -> tuple[jnp.ndarray, PCGInfo]:
     """Mixed-precision solve: float32 CG on the Jacobi-symmetrized system
     inside float64 iterative refinement.
@@ -757,7 +770,8 @@ def solve_pcg_mixed(
         # kernel alone floors at ~3e-9 at mesh >= 40).
         return _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                                 maxiter_inner, max_rounds, inner_opts,
-                                interpret, x0=x0)
+                                interpret, x0=x0, a_blocks=a_blocks,
+                                block_N=block_N)
 
     if inner == "pallas_2l":
         from romhighcontrast_tpu.ops import twolevel as tl

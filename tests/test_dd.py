@@ -174,3 +174,30 @@ def test_dd_gaussian_elimination_eager():
     bn = np.linalg.norm(np.asarray(rhs), axis=-1)
     assert np.all(r / bn < 1e-10), r / bn
     np.testing.assert_allclose(x, want, rtol=1e-6, atol=1e-12)
+
+
+def test_build_dd_scaled_from_blocks_matches_f64():
+    """The from-block-coefficients EFT pipeline (no f64 full-grid arrays)
+    must match the f64-weights pipeline to ~2^-48."""
+    from romhighcontrast_tpu.ops.pallas_dd_round import (
+        build_dd_scaled_from_blocks,
+    )
+
+    space, w, b = _problem()
+    a = np.ones((3, 2, 2))
+    a[0, 0, 0] = INFINIT_A
+    a[1, 1, 0] = 1e6
+    ops, w32 = build_dd_scaled_from_blocks(jnp.asarray(a), space.N, b)
+    wt64, s64 = st.symmetrized_weights(w)
+    for name in ("wE", "wW", "wS", "wN"):
+        got = np.asarray(dd.dd_to_f64(*getattr(ops, name)))
+        want = np.asarray(getattr(wt64, name))
+        scale = np.max(np.abs(want))
+        np.testing.assert_allclose(got, want, atol=2e-13 * scale)
+    np.testing.assert_allclose(np.asarray(dd.dd_to_f64(*ops.s)),
+                               np.asarray(s64), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(dd.dd_to_f64(*ops.bt)),
+                               np.asarray(s64 * b), rtol=1e-12)
+    # w32 = f32 unscaled weights for the coarse assembly
+    np.testing.assert_allclose(np.asarray(w32.diag),
+                               np.asarray(w.diag).astype(np.float32), rtol=0)
