@@ -315,7 +315,7 @@ def cg_2l_prepared(
     deg: int = 3,
     lmin: float | None = None,
     lmax: float = 2.0,
-    dc: int = 6,
+    dc: int = 8,
     clmin: float = 0.03,
     clmax: float = 2.05,
     strides: tuple[int, int] | None = None,
@@ -401,7 +401,7 @@ def cg_symmetrized_pallas_2l(
     deg: int = 3,
     lmin: float | None = None,
     lmax: float = 2.0,
-    dc: int = 6,
+    dc: int = 8,
     clmin: float = 0.03,
     clmax: float = 2.05,
 ):
