@@ -92,7 +92,8 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
                    cp0_ref, cpp_ref, rtol2_ref, Rrow_ref, RrowT_ref, Ccol_ref,
                    CcolT_ref, x_ref, it_ref, *, maxiter: int, BS: int,
                    H: int, deg: int, lmin: float, lmax: float, dc: int,
-                   clmin: float, clmax: float, xfer_bf16: bool = False):
+                   clmin: float, clmax: float, xfer_bf16: bool = False,
+                   Wcp: int = 0):
     f32 = jnp.float32
     wE, wW, wS, wN = wE_ref[0], wW_ref[0], wS_ref[0], wN_ref[0]
     b = b_ref[0]
@@ -172,18 +173,58 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
     else:
         Rrow_x, RrowT_x = Rrow, RrowT
 
-    def precond(r):
-        t = dh * r
-        if xfer_bf16:
-            t = t.astype(jnp.bfloat16)
-        c1 = jnp.dot(Rrow_x, t, preferred_element_type=f32)
-        c = sg * jnp.dot(c1, Ccol, preferred_element_type=f32)
-        y = sg * coarse_cheb(c)
-        if xfer_bf16:
-            y = y.astype(jnp.bfloat16)
-        t1 = jnp.dot(RrowT_x, y, preferred_element_type=f32)
-        zc = dh * jnp.dot(t1, CcolT, preferred_element_type=f32)
-        return fine_cheb(r) + zc
+    if Wcp:
+        # LANE-PACKED coarse stage: all BS samples share one (Hcp, L) array
+        # at lane pitch ``Wcp`` (L = round_up(BS*Wcp, 128)).  The standard
+        # stacked layout uses ~15% of its 128 lanes at the paper config
+        # (m1c = 19), so every coarse Chebyshev sweep wastes ~6x VPU work;
+        # packing cuts the coarse arrays 4x.  Transfers exploit the block
+        # structure: per-sample (Hcp, H) x (H, W) restrictions (8x fewer
+        # MMACs than the block-diagonal (BS*Hc, BS*H) operand), lane-rolled
+        # into place; hat-matrix zero columns beyond m1c annihilate the
+        # cross-sample lanes on the way back (Wcp = m1c + 1 guard).
+        L = sg.shape[1]
+        Wc_piece = Ccol.shape[1]
+
+        def precond(r):
+            t = dh * r
+            cp = None
+            for s in range(BS):
+                t_s = t[s * H:(s + 1) * H, :]
+                c1_s = jnp.dot(Rrow, t_s, preferred_element_type=f32)
+                piece = jnp.dot(c1_s, Ccol, preferred_element_type=f32)
+                if L > Wc_piece:
+                    piece = jnp.concatenate(
+                        [piece, jnp.zeros((piece.shape[0], L - Wc_piece),
+                                          f32)], axis=1)
+                if s:
+                    piece = pltpu.roll(piece, shift=jnp.int32(s * Wcp),
+                                       axis=1)
+                cp = piece if cp is None else cp + piece
+            c = sg * cp
+            y = sg * coarse_cheb(c)
+            outs = []
+            for s in range(BS):
+                ys = (pltpu.roll(y, shift=jnp.int32(L - s * Wcp), axis=1)
+                      if s else y)
+                u_s = jnp.dot(ys[:, :Wc_piece], CcolT,
+                              preferred_element_type=f32)
+                outs.append(jnp.dot(RrowT, u_s, preferred_element_type=f32))
+            zc = dh * jnp.concatenate(outs, axis=0)
+            return fine_cheb(r) + zc
+    else:
+        def precond(r):
+            t = dh * r
+            if xfer_bf16:
+                t = t.astype(jnp.bfloat16)
+            c1 = jnp.dot(Rrow_x, t, preferred_element_type=f32)
+            c = sg * jnp.dot(c1, Ccol, preferred_element_type=f32)
+            y = sg * coarse_cheb(c)
+            if xfer_bf16:
+                y = y.astype(jnp.bfloat16)
+            t1 = jnp.dot(RrowT_x, y, preferred_element_type=f32)
+            zc = dh * jnp.dot(t1, CcolT, preferred_element_type=f32)
+            return fine_cheb(r) + zc
 
     one = f32(1.0)
     zero = f32(0.0)
@@ -255,10 +296,16 @@ class Prepared2L(NamedTuple):
 
 def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
                coarse: tl.CoarseOperator, strides: tuple[int, int],
-               block_size: int | None = None):
+               block_size: int | None = None, packed_coarse: bool = False):
     """Pad/block the round-invariant operands.  Returns ``(prep, dims)``
-    with ``dims = (B, nr, nc, BS, H, W, Hc, Wc, BP)`` (python ints — pass
-    them as static arguments to :func:`cg_2l_prepared`)."""
+    with ``dims = (B, nr, nc, BS, H, W, Hc, Wc, BP, Wcp)`` (python ints —
+    pass them as static arguments to :func:`cg_2l_prepared`).
+
+    ``packed_coarse``: lay the coarse-stage arrays out LANE-PACKED — all
+    ``BS`` samples at lane pitch ``Wcp = m1c + 1`` in one ``(Hc, L)`` array
+    (see the kernel docstring); requires ``m1c + 1 <= 128`` (falls back to
+    the standard stacked layout otherwise).  ``Wcp = 0`` in dims marks the
+    standard layout."""
     B, nr, nc = dh.shape
     m1r, m1c = coarse.sg.shape[-2:]
     H = _round_up(nr + 1, 8)
@@ -267,6 +314,10 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
     Wc = _round_up(m1c + 1, 128)
     BS = auto_block_size_2l(H, W) if block_size is None else block_size
     BP = _round_up(B, BS)
+    if packed_coarse and m1c + 1 > 128:
+        packed_coarse = False
+    Wcp = (m1c + 1) if packed_coarse else 0
+    L = _round_up(BS * Wcp, 128) if packed_coarse else Wc
 
     def padf(x):
         x = jnp.pad(
@@ -275,6 +326,14 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
         return x.reshape(BP // BS, BS * H, W)
 
     def padc(x):
+        if packed_coarse:
+            x = jnp.pad(
+                x.astype(jnp.float32),
+                ((0, BP - B), (0, Hc - m1r), (0, Wcp - m1c)),
+            )
+            x = x.reshape(BP // BS, BS, Hc, Wcp).transpose(0, 2, 1, 3)
+            x = x.reshape(BP // BS, Hc, BS * Wcp)
+            return jnp.pad(x, ((0, 0), (0, 0), (0, L - BS * Wcp)))
         x = jnp.pad(
             x.astype(jnp.float32),
             ((0, BP - B), (0, Hc - m1r), (0, Wc - m1c)),
@@ -289,7 +348,15 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
     )
     hr = tl.hat_matrix(nr, strides[0])
     hc = tl.hat_matrix(nc, strides[1])
-    Rrow, RrowT, Ccol, CcolT = _transfer_mats(hr, hc, BS, H, W, Hc, Wc)
+    if packed_coarse:
+        hrp = np.zeros((Hc, H), np.float32)
+        hrp[:m1r, :nr] = hr
+        Ccol = np.zeros((W, 128), np.float32)
+        Ccol[:nc, :m1c] = hc.T
+        Rrow, RrowT, Ccol, CcolT = (jnp.asarray(hrp), jnp.asarray(hrp.T),
+                                    jnp.asarray(Ccol), jnp.asarray(Ccol.T))
+    else:
+        Rrow, RrowT, Ccol, CcolT = _transfer_mats(hr, hc, BS, H, W, Hc, Wc)
     # dead Dirichlet-edge weights zeroed so the circular lane rolls stay
     # correct when nc is an exact multiple of 128 (no zero guard column);
     # the row axis always has >= 1 guard row (H >= nr + 1)
@@ -302,7 +369,7 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
         dh=padf(dh), sg=padc(coarse.sg), cbands=cbands,
         Rrow=Rrow, RrowT=RrowT, Ccol=Ccol, CcolT=CcolT,
     )
-    return prep, (B, nr, nc, BS, H, W, Hc, Wc, BP)
+    return prep, (B, nr, nc, BS, H, W, Hc, L, BP, Wcp)
 
 
 def cg_2l_prepared(
@@ -330,7 +397,8 @@ def cg_2l_prepared(
     ``(BP//BS, BS*H, W)`` layout (the dd refinement driver keeps its state
     blocked across rounds; the per-round pad/unpad copies are pure HBM
     traffic)."""
-    B, nr, nc, BS, H, W, Hc, Wc, BP = dims
+    B, nr, nc, BS, H, W, Hc, Wc, BP = dims[:9]
+    Wcp = dims[9] if len(dims) > 9 else 0
     if lmin is None:
         if strides is None:
             raise ValueError(
@@ -346,7 +414,8 @@ def cg_2l_prepared(
 
     fspec = pl.BlockSpec((1, BS * H, W), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((1, BS * Hc, Wc), lambda i: (i, 0, 0),
+    cshape = (1, Hc, Wc) if Wcp else (1, BS * Hc, Wc)
+    cspec = pl.BlockSpec(cshape, lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     it_spec = pl.BlockSpec((1, BS, 1), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -362,7 +431,7 @@ def cg_2l_prepared(
                 _pcg_2l_kernel, maxiter=maxiter, BS=BS, H=H,
                 deg=deg, lmin=float(lmin), lmax=float(lmax), dc=dc,
                 clmin=float(clmin), clmax=float(clmax),
-                xfer_bf16=xfer_bf16,
+                xfer_bf16=xfer_bf16, Wcp=Wcp,
             ),
             grid=(BP // BS,),
             in_specs=[fspec] * 6 + [cspec] * 9 + [it_spec]
@@ -385,7 +454,8 @@ def cg_2l_prepared(
 @functools.partial(
     jax.jit,
     static_argnames=("tol", "maxiter", "block_size", "interpret", "deg",
-                     "lmin", "lmax", "dc", "clmin", "clmax", "strides"),
+                     "lmin", "lmax", "dc", "clmin", "clmax", "strides",
+                     "packed_coarse"),
 )
 def cg_symmetrized_pallas_2l(
     wt: st.StencilCoefficients,
@@ -404,6 +474,7 @@ def cg_symmetrized_pallas_2l(
     dc: int = 8,
     clmin: float = 0.03,
     clmax: float = 2.05,
+    packed_coarse: bool = True,
 ):
     """Two-level solve of the symmetrized system for a batch ``(B, nr, nc)``.
 
@@ -422,7 +493,8 @@ def cg_symmetrized_pallas_2l(
     outer costs ``deg`` fine matvecs + one coarse correction).
     """
     B = b.shape[0]
-    prep, dims = prepare_2l(wt, dh, coarse, strides, block_size)
+    prep, dims = prepare_2l(wt, dh, coarse, strides, block_size,
+                            packed_coarse=packed_coarse)
     if rtol2 is None:
         rtol2 = jnp.full((B,), tol * tol)
     return cg_2l_prepared(

@@ -226,7 +226,8 @@ def prepare_dd(ops: DDOperands, dims: tuple) -> PreparedDD:
     """Block/pad the dd operand pairs.  ``dims`` comes from
     pallas_cg_2l.prepare_2l (or dd_dims) so layouts agree with the inner
     kernel's."""
-    B, nr, nc, BS, H, W, Hc, Wc, BP = dims
+    B, nr, nc, BS, H, W = dims[:6]
+    BP = dims[8]
 
     def padf(x):
         x = jnp.pad(
@@ -258,7 +259,7 @@ def dd_dims(B: int, nr: int, nc: int) -> tuple:
     W = _round_up(nc, 128)
     BS = auto_block_size_2l(H, W)
     BP = _round_up(B, BS)
-    return (B, nr, nc, BS, H, W, 0, 0, BP)
+    return (B, nr, nc, BS, H, W, 0, 0, BP, 0)
 
 
 def dd_round(prep: PreparedDD, dims: tuple, xh: jnp.ndarray, xl: jnp.ndarray,
@@ -277,7 +278,8 @@ def dd_round(prep: PreparedDD, dims: tuple, xh: jnp.ndarray, xl: jnp.ndarray,
     be blocked or per-sample (``d_blocked``) — the single-level straggler
     kernel returns per-sample corrections.
     """
-    B, nr, nc, BS, H, W, Hc, Wc, BP = dims
+    B, nr, nc, BS, H, W = dims[:6]
+    BP = dims[8]
 
     def padf(x):
         x = jnp.pad(

@@ -432,6 +432,10 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     batch = b.shape[:-2]
     nr, nc = grid_shape
     strides = (tl.coarse_stride(nr), tl.coarse_stride(nc))
+    # prep-level knobs ride inner_opts but must not reach the kernel call
+    _opts = dict(inner_opts)
+    packed_coarse = bool(_opts.pop("packed_coarse", True))
+    inner_opts = tuple(_opts.items())
 
     def flat(v):
         return jnp.broadcast_to(v, batch + grid_shape).reshape(
@@ -459,7 +463,6 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         w32 = st.StencilCoefficients(*(v.astype(f32) for v in w3))
     dh3 = jnp.sqrt(w32.diag)
     coarse = tl.assemble_coarse(w32, *strides)
-    mv2l = int(dict(inner_opts).get("deg", 3)) + 1
 
     def hi_weights(o):
         return st.StencilCoefficients(
@@ -476,8 +479,18 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     ops_s = ops
     wt_s = hi_weights(ops_s)
     co_s = coarse
-    prep2l0, dims0 = prepare_2l(wt_s, dh3, co_s, strides)
+    prep2l0, dims0 = prepare_2l(wt_s, dh3, co_s, strides,
+                                packed_coarse=packed_coarse)
     prepdd0 = prepare_dd(ops_s, dims0)
+    if "deg" not in dict(inner_opts):
+        # Measured (packed coarse, interleaved TPU sweeps 2026-08-17):
+        # deg-4 fine Chebyshev beats deg-3 by ~1.5% (mesh 20, BS=8) and
+        # ~10% (mesh 40, BS=2) but LOSES ~20% at BS=1 (mesh 64) — with
+        # multiple samples per block, fewer outer iterations also shrink
+        # the run-to-block-max synchronization waste; at BS=1 there is no
+        # such waste and the extra matvec per outer dominates.
+        inner_opts = inner_opts + (("deg", 4 if dims0[3] >= 2 else 3),)
+    mv2l = int(dict(inner_opts).get("deg", 3)) + 1
     t2s = tol2bb
 
     def round_cond(t2, budget, until_few: int = 0):
@@ -781,6 +794,9 @@ def solve_pcg_mixed(
 
         strides = (tl.coarse_stride(grid_shape[0]),
                    tl.coarse_stride(grid_shape[1]))
+        _opts = dict(inner_opts)
+        _packed = bool(_opts.pop("packed_coarse", True))
+        inner_opts = tuple(_opts.items())
         wt3 = st.StencilCoefficients(
             *(jnp.broadcast_to(v, batch + grid_shape)
               .reshape((-1,) + grid_shape) for v in wt32)
@@ -806,7 +822,8 @@ def solve_pcg_mixed(
             wts = st.StencilCoefficients(*(v[order] for v in wt3))
             co = tl.CoarseOperator(bands=coarse.bands[order],
                                    sg=coarse.sg[order])
-            prep2l, dims2l = prepare_2l(wts, dh3[order], co, strides)
+            prep2l, dims2l = prepare_2l(wts, dh3[order], co, strides,
+                                        packed_coarse=_packed)
             x3, its = cg_2l_prepared(
                 prep2l, dims2l, rt3, rtol2.reshape(-1)[order],
                 # cap outer iterations: healthy samples need <= ~21 to the

@@ -159,3 +159,32 @@ def test_adaptive_round_tolerance_respects_target():
     for tol in (1e-8, 1e-10):
         _, info = solvers.solve_pcg_mixed(w, rhs, tol=tol, inner="pallas_2l")
         assert float(info.relative_residual.max()) < 3 * tol
+
+
+def test_packed_coarse_matches_standard_layout():
+    """The lane-packed coarse stage (all BS samples at lane pitch
+    ``Wcp = m1c + 1`` in one (Hc, L) array — the round-3 perf lever) must
+    solve to the same tolerance as the standard stacked layout, with
+    near-identical work (the preconditioner is algebraically the same
+    operator; the transfers' different matmul splitting can move a sample
+    across a tolerance edge by at most an outer iteration or two)."""
+    space = FemSpace((2, 2), 10)
+    a = np.array(
+        [[[INFINIT_A, 1.0], [1.0, INFINIT_A]], [[1e6, 1.0], [1.0, 1.0]],
+         [[1.0, 1.0], [1.0, 1e4]]]
+    )
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (3,) + space.grid_shape
+    )
+    outs = {}
+    for packed in (False, True):
+        x, info = solvers.solve_pcg_mixed(
+            w, rhs, tol=1e-11, inner="pallas_2l",
+            inner_opts=(("packed_coarse", packed),),
+        )
+        assert float(info.relative_residual.max()) < 1e-10
+        outs[packed] = (np.asarray(x), np.asarray(info.iterations))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-9,
+                               atol=1e-12)
+    assert np.all(np.abs(outs[True][1] - outs[False][1]) <= 3 * 5)
