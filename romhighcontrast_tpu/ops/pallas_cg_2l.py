@@ -70,6 +70,80 @@ def auto_block_size_2l(H: int, W: int) -> int:
     return bs
 
 
+def auto_block_size_packed(H: int, nc: int, m1r: int, m1c: int) -> int:
+    """Samples per block for the LANE-PACKED fine layout: all BS samples
+    share one ``(H, Lf)`` array at lane pitch ``Wf = nc + 1``.  Unlike the
+    stacked estimate, the lane-transfer matrices (Ccol/CcolT, ``Lf x Lc``)
+    and the coarse buffers scale with BS and must be counted: a 34-buffer
+    fine-only model said BS=16 fits at the paper config but the compiler
+    measured 16.48 MB (scoped limit 16 MB) — measured OOM 2026-08-18."""
+    Hc = _round_up(m1r + 1, 8)
+    bs = 8
+    while bs > 1:
+        Lf = _round_up(bs * (nc + 1), 128)
+        Lc = _round_up(bs * (m1c + 1), 128)
+        est = (34 * H * Lf + 2 * Lf * Lc + 14 * Hc * Lc + 2 * Hc * H) * 4
+        # 15.5 MB cap against the 16 MB scoped limit: the extras are now
+        # explicit, so less slack is needed than the stacked model's 14 MB
+        if est <= 15.5 * 2**20:
+            break
+        bs //= 2
+    return bs
+
+
+def fine_dims(dims) -> tuple[int, int, int]:
+    """``(rows, lanes, Wf)`` of one fine kernel block.  ``Wf = 0`` marks the
+    stacked layout (samples along sublanes, block ``(BS*H, W)``); ``Wf > 0``
+    the lane-packed layout (block ``(H, W)`` with samples at lane pitch
+    ``Wf``)."""
+    BS, H, W = dims[3], dims[4], dims[5]
+    Wf = dims[10] if len(dims) > 10 else 0
+    return ((H, W, Wf) if Wf else (BS * H, W, 0))
+
+
+def fine_to_samples(xb: jnp.ndarray, dims) -> jnp.ndarray:
+    """Blocked fine array -> padded per-sample view ``(BP, H, Wp)`` (``Wp``
+    = ``Wf`` packed / ``W`` stacked)."""
+    B, nr, nc, BS, H, W = dims[:6]
+    BP = dims[8]
+    rows, lanes, Wf = fine_dims(dims)
+    if Wf:
+        v = xb[:, :, : BS * Wf].reshape(BP // BS, H, BS, Wf)
+        return v.transpose(0, 2, 1, 3).reshape(BP, H, Wf)
+    return xb.reshape(BP, H, W)
+
+
+def fine_from_samples(v: jnp.ndarray, dims) -> jnp.ndarray:
+    """Inverse of :func:`fine_to_samples` (re-zeroes the packed guard
+    lanes, which hold exact zeros by the kernel induction)."""
+    B, nr, nc, BS, H, W = dims[:6]
+    BP = dims[8]
+    rows, lanes, Wf = fine_dims(dims)
+    if Wf:
+        x = v.reshape(BP // BS, BS, H, Wf).transpose(0, 2, 1, 3)
+        x = x.reshape(BP // BS, H, BS * Wf)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, W - BS * Wf)))
+    return v.reshape(BP // BS, BS * H, W)
+
+
+def pack_fine(x: jnp.ndarray, dims) -> jnp.ndarray:
+    """Pad/block a per-sample batch ``(B, nr, nc)`` into the fine kernel
+    layout selected by ``dims``."""
+    B, nr, nc, BS, H, W = dims[:6]
+    BP = dims[8]
+    rows, lanes, Wf = fine_dims(dims)
+    Wp = Wf if Wf else W
+    x = jnp.pad(x.astype(jnp.float32),
+                ((0, BP - x.shape[0]), (0, H - nr), (0, Wp - nc)))
+    return fine_from_samples(x, dims)
+
+
+def unpack_fine(xb: jnp.ndarray, dims) -> jnp.ndarray:
+    """Blocked fine array -> unpadded per-sample batch ``(B, nr, nc)``."""
+    B, nr, nc = dims[:3]
+    return fine_to_samples(xb, dims)[:B, :nr, :nc]
+
+
 def _transfer_mats(hr, hc, BS, H, W, Hc, Wc):
     """Static restriction/prolongation operands for the stacked layouts.
 
@@ -93,7 +167,7 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
                    CcolT_ref, x_ref, it_ref, *, maxiter: int, BS: int,
                    H: int, deg: int, lmin: float, lmax: float, dc: int,
                    clmin: float, clmax: float, xfer_bf16: bool = False,
-                   Wcp: int = 0):
+                   Wcp: int = 0, Wf: int = 0):
     f32 = jnp.float32
     wE, wW, wS, wN = wE_ref[0], wW_ref[0], wS_ref[0], wN_ref[0]
     b = b_ref[0]
@@ -105,11 +179,6 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
           (1, 0): cp0_ref[0], (1, 1): cpp_ref[0]}
     Rrow, RrowT, Ccol, CcolT = (Rrow_ref[...], RrowT_ref[...], Ccol_ref[...],
                                 CcolT_ref[...])
-    rows = wE.shape[0]  # BS * H
-
-    sid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 1) // H
-    kid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 0)
-    S = (sid == kid).astype(f32)
 
     def matvec(u):
         return (
@@ -119,6 +188,35 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
             - wS * _neighbor(u, 0, -1)
             - wN * _neighbor(u, 0, 1)
         )
+
+    if Wf:
+        # LANE-PACKED fine layout: samples along lanes at pitch Wf; the
+        # per-sample scalars live as (1, BS) lane vectors, the segment
+        # reductions as a sublane sum + one tiny lane-selection matmul
+        lanes = wE.shape[1]
+        lid = jax.lax.broadcasted_iota(jnp.int32, (lanes, BS), 0) // Wf
+        kid = jax.lax.broadcasted_iota(jnp.int32, (lanes, BS), 1)
+        Ssel = (lid == kid).astype(f32)  # (Lf, BS); padded lanes match none
+
+        def dots(u, v):
+            part = jnp.sum(u * v, axis=0, keepdims=True)  # (1, Lf)
+            return jnp.dot(part, Ssel, preferred_element_type=f32)
+
+        def to_rows(c):  # (1, BS) -> (1, Lf), row-broadcast at use sites
+            return jnp.dot(c, Ssel.T, preferred_element_type=f32)
+    else:
+        rows = wE.shape[0]  # BS * H
+
+        sid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 1) // H
+        kid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 0)
+        S = (sid == kid).astype(f32)
+
+        def dots(u, v):
+            part = jnp.dot(S, u * v, preferred_element_type=f32)
+            return jnp.sum(part, axis=1, keepdims=True)
+
+        def to_rows(c):
+            return jnp.dot(S.T, c, preferred_element_type=f32)
 
     def cmatvec(y):
         # normalized coarse 9-point stencil; unit diagonal by construction,
@@ -132,13 +230,6 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
                 t = _neighbor(t, 1, -dq)
             out = out + wgt * t
         return out
-
-    def dots(u, v):
-        part = jnp.dot(S, u * v, preferred_element_type=f32)
-        return jnp.sum(part, axis=1, keepdims=True)
-
-    def to_rows(c):
-        return jnp.dot(S.T, c, preferred_element_type=f32)
 
     def make_cheb(apply_op, deg_, lo, hi):
         theta = f32((hi + lo) / 2.0)
@@ -173,7 +264,21 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
     else:
         Rrow_x, RrowT_x = Rrow, RrowT
 
-    if Wcp:
+    if Wf:
+        # Packed fine + packed coarse: both stages share the lane-packed
+        # sample pitch, so the transfers need NO per-sample loops or rolls —
+        # the row restriction is ONE shared (Hc, H) x (H, Lf) matmul over
+        # all samples at once, and the lane restriction one block-diagonal
+        # (Lf, Lc) matmul (hc.T per sample at offsets (s*Wf, s*Wcp)).
+        def precond(r):
+            t = dh * r                                        # (H, Lf)
+            c1 = jnp.dot(Rrow, t, preferred_element_type=f32)  # (Hc, Lf)
+            c = sg * jnp.dot(c1, Ccol, preferred_element_type=f32)
+            y = sg * coarse_cheb(c)                           # (Hc, Lc)
+            u = jnp.dot(y, CcolT, preferred_element_type=f32)  # (Hc, Lf)
+            zc = dh * jnp.dot(RrowT, u, preferred_element_type=f32)
+            return fine_cheb(r) + zc
+    elif Wcp:
         # LANE-PACKED coarse stage: all BS samples share one (Hcp, L) array
         # at lane pitch ``Wcp`` (L = round_up(BS*Wcp, 128)).  The standard
         # stacked layout uses ~15% of its 128 lanes at the paper config
@@ -269,7 +374,7 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
     x0 = jnp.zeros_like(b)
     z0 = precond(b)
     state = (x0, b, z0, dots(b, z0), bb, jnp.int32(0),
-             jnp.zeros((BS, 1), f32))
+             jnp.zeros((1, BS) if Wf else (BS, 1), f32))
     out = jax.lax.while_loop(cond, body, state)
     x_ref[0] = out[0]
     it_ref[0] = out[6].astype(jnp.int32)
@@ -296,34 +401,55 @@ class Prepared2L(NamedTuple):
 
 def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
                coarse: tl.CoarseOperator, strides: tuple[int, int],
-               block_size: int | None = None, packed_coarse: bool = False):
+               block_size: int | None = None, packed_coarse: bool = False,
+               packed_fine: bool = False):
     """Pad/block the round-invariant operands.  Returns ``(prep, dims)``
-    with ``dims = (B, nr, nc, BS, H, W, Hc, Wc, BP, Wcp)`` (python ints —
-    pass them as static arguments to :func:`cg_2l_prepared`).
+    with ``dims = (B, nr, nc, BS, H, W, Hc, Wc, BP, Wcp, Wf)`` (python
+    ints — pass them as static arguments to :func:`cg_2l_prepared`).
 
     ``packed_coarse``: lay the coarse-stage arrays out LANE-PACKED — all
     ``BS`` samples at lane pitch ``Wcp = m1c + 1`` in one ``(Hc, L)`` array
     (see the kernel docstring); requires ``m1c + 1 <= 128`` (falls back to
     the standard stacked layout otherwise).  ``Wcp = 0`` in dims marks the
-    standard layout."""
+    standard layout.
+
+    ``packed_fine``: lane-pack the FINE stage too — all ``BS`` samples in
+    one ``(H, Lf)`` array at lane pitch ``Wf = nc + 1`` (one zero guard
+    lane between samples annihilates the E/W roll wrap, the same induction
+    as the zero-padded columns of the stacked layout).  At the paper config
+    the stacked layout uses 79 of 128 lanes, so every fine elementwise op
+    (the bulk of the kernel: matvecs, axpys, Chebyshev updates) wastes
+    ~1.6x VPU work; packing also shrinks the coarse transfers to ONE shared
+    row-restriction matmul plus ONE block-diagonal lane matmul (no
+    per-sample loops or rolls).  Implies ``packed_coarse``; requires
+    ``m1c + 1 <= 128`` (falls back to the stacked fine layout otherwise).
+    ``Wf = 0`` in dims marks the stacked layout."""
     B, nr, nc = dh.shape
     m1r, m1c = coarse.sg.shape[-2:]
     H = _round_up(nr + 1, 8)
-    W = _round_up(nc, 128)
     Hc = _round_up(m1r + 1, 8)
     Wc = _round_up(m1c + 1, 128)
-    BS = auto_block_size_2l(H, W) if block_size is None else block_size
+    if packed_fine and m1c + 1 > 128:
+        packed_fine = False
+    if packed_fine:
+        packed_coarse = True
+        Wf = nc + 1
+        BS = (auto_block_size_packed(H, nc, m1r, m1c) if block_size is None
+              else block_size)
+        W = _round_up(BS * Wf, 128)
+    else:
+        Wf = 0
+        W = _round_up(nc, 128)
+        BS = auto_block_size_2l(H, W) if block_size is None else block_size
     BP = _round_up(B, BS)
     if packed_coarse and m1c + 1 > 128:
         packed_coarse = False
     Wcp = (m1c + 1) if packed_coarse else 0
     L = _round_up(BS * Wcp, 128) if packed_coarse else Wc
+    dims = (B, nr, nc, BS, H, W, Hc, L, BP, Wcp, Wf)
 
     def padf(x):
-        x = jnp.pad(
-            x.astype(jnp.float32), ((0, BP - B), (0, H - nr), (0, W - nc))
-        )
-        return x.reshape(BP // BS, BS * H, W)
+        return pack_fine(x, dims)
 
     def padc(x):
         if packed_coarse:
@@ -348,7 +474,15 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
     )
     hr = tl.hat_matrix(nr, strides[0])
     hc = tl.hat_matrix(nc, strides[1])
-    if packed_coarse:
+    if packed_fine:
+        hrp = np.zeros((Hc, H), np.float32)
+        hrp[:m1r, :nr] = hr
+        Ccol = np.zeros((W, L), np.float32)
+        for s in range(BS):
+            Ccol[s * Wf : s * Wf + nc, s * Wcp : s * Wcp + m1c] = hc.T
+        Rrow, RrowT, Ccol, CcolT = (jnp.asarray(hrp), jnp.asarray(hrp.T),
+                                    jnp.asarray(Ccol), jnp.asarray(Ccol.T))
+    elif packed_coarse:
         hrp = np.zeros((Hc, H), np.float32)
         hrp[:m1r, :nr] = hr
         Ccol = np.zeros((W, 128), np.float32)
@@ -369,7 +503,7 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
         dh=padf(dh), sg=padc(coarse.sg), cbands=cbands,
         Rrow=Rrow, RrowT=RrowT, Ccol=Ccol, CcolT=CcolT,
     )
-    return prep, (B, nr, nc, BS, H, W, Hc, L, BP, Wcp)
+    return prep, dims
 
 
 def cg_2l_prepared(
@@ -399,6 +533,7 @@ def cg_2l_prepared(
     traffic)."""
     B, nr, nc, BS, H, W, Hc, Wc, BP = dims[:9]
     Wcp = dims[9] if len(dims) > 9 else 0
+    Wf = dims[10] if len(dims) > 10 else 0
     if lmin is None:
         if strides is None:
             raise ValueError(
@@ -406,18 +541,19 @@ def cg_2l_prepared(
                 "window) or an explicit `lmin`"
             )
         lmin = default_fine_window((nr, nc), strides)[0]
-    bp = b if blocked_io else jnp.pad(
-        b.astype(jnp.float32), ((0, BP - B), (0, H - nr), (0, W - nc))
-    ).reshape(BP // BS, BS * H, W)
+    bp = b if blocked_io else pack_fine(b, dims)
     rt2 = jnp.pad(rtol2.astype(jnp.float32), (0, BP - B),
-                  constant_values=1.0).reshape(BP // BS, BS, 1)
+                  constant_values=1.0)
+    it_shape = (1, 1, BS) if Wf else (1, BS, 1)
+    rt2 = rt2.reshape((BP // BS,) + it_shape[1:])
 
-    fspec = pl.BlockSpec((1, BS * H, W), lambda i: (i, 0, 0),
+    fshape = (1, H, W) if Wf else (1, BS * H, W)
+    fspec = pl.BlockSpec(fshape, lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     cshape = (1, Hc, Wc) if Wcp else (1, BS * Hc, Wc)
     cspec = pl.BlockSpec(cshape, lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    it_spec = pl.BlockSpec((1, BS, 1), lambda i: (i, 0, 0),
+    it_spec = pl.BlockSpec(it_shape, lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
 
     def smat(arr):
@@ -431,7 +567,7 @@ def cg_2l_prepared(
                 _pcg_2l_kernel, maxiter=maxiter, BS=BS, H=H,
                 deg=deg, lmin=float(lmin), lmax=float(lmax), dc=dc,
                 clmin=float(clmin), clmax=float(clmax),
-                xfer_bf16=xfer_bf16, Wcp=Wcp,
+                xfer_bf16=xfer_bf16, Wcp=Wcp, Wf=Wf,
             ),
             grid=(BP // BS,),
             in_specs=[fspec] * 6 + [cspec] * 9 + [it_spec]
@@ -439,23 +575,22 @@ def cg_2l_prepared(
                smat(prep.CcolT)],
             out_specs=(fspec, it_spec),
             out_shape=(
-                jax.ShapeDtypeStruct((BP // BS, BS * H, W), jnp.float32),
-                jax.ShapeDtypeStruct((BP // BS, BS, 1), jnp.int32),
+                jax.ShapeDtypeStruct((BP // BS,) + fshape[1:], jnp.float32),
+                jax.ShapeDtypeStruct((BP // BS,) + it_shape[1:], jnp.int32),
             ),
             interpret=interpret,
         )(prep.wE, prep.wW, prep.wS, prep.wN, bp, prep.dh, prep.sg,
           *prep.cbands, rt2, prep.Rrow, prep.RrowT, prep.Ccol, prep.CcolT)
     if blocked_io:
         return out, its.reshape(BP)[:B]
-    out = out.reshape(BP, H, W)
-    return out[:B, :nr, :nc], its.reshape(BP)[:B]
+    return unpack_fine(out, dims), its.reshape(BP)[:B]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tol", "maxiter", "block_size", "interpret", "deg",
                      "lmin", "lmax", "dc", "clmin", "clmax", "strides",
-                     "packed_coarse"),
+                     "packed_coarse", "packed_fine"),
 )
 def cg_symmetrized_pallas_2l(
     wt: st.StencilCoefficients,
@@ -475,6 +610,7 @@ def cg_symmetrized_pallas_2l(
     clmin: float = 0.03,
     clmax: float = 2.05,
     packed_coarse: bool = True,
+    packed_fine: bool = False,
 ):
     """Two-level solve of the symmetrized system for a batch ``(B, nr, nc)``.
 
@@ -494,7 +630,8 @@ def cg_symmetrized_pallas_2l(
     """
     B = b.shape[0]
     prep, dims = prepare_2l(wt, dh, coarse, strides, block_size,
-                            packed_coarse=packed_coarse)
+                            packed_coarse=packed_coarse,
+                            packed_fine=packed_fine)
     if rtol2 is None:
         rtol2 = jnp.full((B,), tol * tol)
     return cg_2l_prepared(

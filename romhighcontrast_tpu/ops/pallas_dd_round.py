@@ -51,7 +51,8 @@ from romhighcontrast_tpu.ops.pallas_cg import _neighbor, _round_up
 def _dd_round_kernel(wEh_ref, wEl_ref, wWh_ref, wWl_ref, wSh_ref, wSl_ref,
                      wNh_ref, wNl_ref, bth_ref, btl_ref, diag_ref,
                      xh_ref, xl_ref, d_ref, tol2bb_ref,
-                     xh_out, xl_out, rt_out, rr_out, *, BS: int, H: int):
+                     xh_out, xl_out, rt_out, rr_out, *, BS: int, H: int,
+                     Wf: int = 0):
     # NOTE: barriers are globally off by default (dd.with_barriers) — and
     # Mosaic could not lower them anyway
     if True:
@@ -85,15 +86,27 @@ def _dd_round_kernel(wEh_ref, wEl_ref, wWh_ref, wWl_ref, wSh_ref, wSl_ref,
             ah, al = dd.dd_add(ah, al, ph, pe)
 
         # original-space norm: ||r||^2 = sum(D * rt^2) per sample (segment
-        # reduction as one MXU matmul, same induction as the CG kernels)
-        sid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 1) // H
-        kid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 0)
-        S = (sid == kid).astype(f32)
-        part = jnp.dot(S, diag * ah * ah, preferred_element_type=f32)
-        rr = jnp.sum(part, axis=1, keepdims=True)
+        # reduction, same layouts as the CG kernels: lane-selection matmul
+        # for the packed-fine layout, sublane-selection for the stacked one)
+        if Wf:
+            lanes = wE[0].shape[1]
+            lid = jax.lax.broadcasted_iota(jnp.int32, (lanes, BS), 0) // Wf
+            kid = jax.lax.broadcasted_iota(jnp.int32, (lanes, BS), 1)
+            Ssel = (lid == kid).astype(f32)  # (Lf, BS)
+            part = jnp.sum(diag * ah * ah, axis=0, keepdims=True)
+            rr = jnp.dot(part, Ssel, preferred_element_type=f32)  # (1, BS)
+            active = (rr > tol2bb).astype(f32)
+            rt_out[0] = jnp.dot(active, Ssel.T,
+                                preferred_element_type=f32) * ah
+        else:
+            sid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 1) // H
+            kid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 0)
+            S = (sid == kid).astype(f32)
+            part = jnp.dot(S, diag * ah * ah, preferred_element_type=f32)
+            rr = jnp.sum(part, axis=1, keepdims=True)
 
-        active = (rr > tol2bb).astype(f32)
-        rt_out[0] = jnp.dot(S.T, active, preferred_element_type=f32) * ah
+            active = (rr > tol2bb).astype(f32)
+            rt_out[0] = jnp.dot(S.T, active, preferred_element_type=f32) * ah
         xh_out[0] = xh
         xl_out[0] = xl
         rr_out[0] = rr
@@ -225,15 +238,12 @@ class PreparedDD(NamedTuple):
 def prepare_dd(ops: DDOperands, dims: tuple) -> PreparedDD:
     """Block/pad the dd operand pairs.  ``dims`` comes from
     pallas_cg_2l.prepare_2l (or dd_dims) so layouts agree with the inner
-    kernel's."""
-    B, nr, nc, BS, H, W = dims[:6]
-    BP = dims[8]
+    kernel's (including the lane-packed fine layout when dims carries a
+    nonzero ``Wf``)."""
+    from romhighcontrast_tpu.ops.pallas_cg_2l import pack_fine
 
     def padf(x):
-        x = jnp.pad(
-            x.astype(jnp.float32), ((0, BP - B), (0, H - nr), (0, W - nc))
-        )
-        return x.reshape(BP // BS, BS * H, W)
+        return pack_fine(x, dims)
 
     # zero the dead Dirichlet-edge weights (hi AND lo) so the circular lane
     # rolls annihilate cross-sample leakage exactly like the CG kernels
@@ -278,40 +288,40 @@ def dd_round(prep: PreparedDD, dims: tuple, xh: jnp.ndarray, xl: jnp.ndarray,
     be blocked or per-sample (``d_blocked``) — the single-level straggler
     kernel returns per-sample corrections.
     """
+    from romhighcontrast_tpu.ops.pallas_cg_2l import (
+        fine_dims, pack_fine, unpack_fine,
+    )
+
     B, nr, nc, BS, H, W = dims[:6]
     BP = dims[8]
-
-    def padf(x):
-        x = jnp.pad(
-            x.astype(jnp.float32), ((0, BP - B), (0, H - nr), (0, W - nc))
-        )
-        return x.reshape(BP // BS, BS * H, W)
+    rows, lanes, Wf = fine_dims(dims)
 
     if blocked_state:
         xh_p, xl_p = xh, xl
     else:
-        xh_p, xl_p = padf(xh), padf(xl)
-    d_p = d if d_blocked else padf(d)
+        xh_p, xl_p = pack_fine(xh, dims), pack_fine(xl, dims)
+    d_p = d if d_blocked else pack_fine(d, dims)
     # padded rows: threshold inf so they always read as converged
+    v_shape = (1, 1, BS) if Wf else (1, BS, 1)
     t2 = jnp.pad(tol2bb.astype(jnp.float32), (0, BP - B),
-                 constant_values=jnp.inf).reshape(BP // BS, BS, 1)
+                 constant_values=jnp.inf).reshape((BP // BS,) + v_shape[1:])
 
-    fspec = pl.BlockSpec((1, BS * H, W), lambda i: (i, 0, 0),
+    fspec = pl.BlockSpec((1, rows, lanes), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((1, BS, 1), lambda i: (i, 0, 0),
+    vspec = pl.BlockSpec(v_shape, lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
 
     with jax.enable_x64(False):
         xh2, xl2, rt, rr = pl.pallas_call(
-            functools.partial(_dd_round_kernel, BS=BS, H=H),
+            functools.partial(_dd_round_kernel, BS=BS, H=H, Wf=Wf),
             grid=(BP // BS,),
             in_specs=[fspec] * 11 + [fspec, fspec, fspec, vspec],
             out_specs=(fspec, fspec, fspec, vspec),
             out_shape=(
-                jax.ShapeDtypeStruct((BP // BS, BS * H, W), jnp.float32),
-                jax.ShapeDtypeStruct((BP // BS, BS * H, W), jnp.float32),
-                jax.ShapeDtypeStruct((BP // BS, BS * H, W), jnp.float32),
-                jax.ShapeDtypeStruct((BP // BS, BS, 1), jnp.float32),
+                jax.ShapeDtypeStruct((BP // BS, rows, lanes), jnp.float32),
+                jax.ShapeDtypeStruct((BP // BS, rows, lanes), jnp.float32),
+                jax.ShapeDtypeStruct((BP // BS, rows, lanes), jnp.float32),
+                jax.ShapeDtypeStruct((BP // BS,) + v_shape[1:], jnp.float32),
             ),
             interpret=interpret,
         )(prep.wEh, prep.wEl, prep.wWh, prep.wWl, prep.wSh, prep.wSl,
@@ -322,7 +332,5 @@ def dd_round(prep: PreparedDD, dims: tuple, xh: jnp.ndarray, xl: jnp.ndarray,
     if blocked_state:
         return xh2, xl2, rt, rr_out
 
-    def unpad(x):
-        return x.reshape(BP, H, W)[:B, :nr, :nc]
-
-    return unpad(xh2), unpad(xl2), unpad(rt), rr_out
+    return (unpack_fine(xh2, dims), unpack_fine(xl2, dims),
+            unpack_fine(rt, dims), rr_out)

@@ -421,7 +421,8 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     from romhighcontrast_tpu.ops import dd
     from romhighcontrast_tpu.ops import twolevel as tl
     from romhighcontrast_tpu.ops.pallas_cg_2l import (
-        cg_2l_prepared, prepare_2l,
+        cg_2l_prepared, fine_dims, fine_from_samples, fine_to_samples,
+        pack_fine, prepare_2l, unpack_fine,
     )
     from romhighcontrast_tpu.ops.pallas_dd_round import (
         build_dd_scaled, build_dd_scaled_from_blocks, dd_dims, dd_round,
@@ -435,6 +436,12 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     # prep-level knobs ride inner_opts but must not reach the kernel call
     _opts = dict(inner_opts)
     packed_coarse = bool(_opts.pop("packed_coarse", True))
+    # default ON (measured 2026-08-18, interleaved on-TPU A/B at the paper
+    # config: 35,995 vs 27,925 solves/s — the stacked layout wastes ~1.6x
+    # VPU work on 79 of 128 lanes); the stacked layout remains reachable
+    # via inner_opts for A/B and for shapes the packed layout rejects
+    packed_fine = bool(_opts.pop("packed_fine", True))
+    block_size = _opts.pop("block_size", None)
     inner_opts = tuple(_opts.items())
 
     def flat(v):
@@ -480,7 +487,9 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     wt_s = hi_weights(ops_s)
     co_s = coarse
     prep2l0, dims0 = prepare_2l(wt_s, dh3, co_s, strides,
-                                packed_coarse=packed_coarse)
+                                block_size=block_size,
+                                packed_coarse=packed_coarse,
+                                packed_fine=packed_fine)
     prepdd0 = prepare_dd(ops_s, dims0)
     if "deg" not in dict(inner_opts):
         # Measured (packed coarse, interleaved TPU sweeps 2026-08-17):
@@ -518,9 +527,6 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
 
     def make_body(use_v2, wtX, prepddX, dimsX, t2X, prep2lX=None,
                   blocked=False):
-        BX, nrX, ncX, _, HX, WX = dimsX[:6]
-        BPX = dimsX[8]
-
         def body(state):
             xh, xl, rt, rr, rounds, iters, key, _ = state
             rtol2 = _round_rtol2(rounds, t2X, rr, inner_tol, f32)
@@ -531,8 +537,7 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
 
                 # per-round difficulty sort: late rounds have few active
                 # samples, and packing them into few blocks is the point
-                rt_s = (rt.reshape(BPX, HX, WX)[:BX, :nrX, :ncX]
-                        if blocked else rt)
+                rt_s = unpack_fine(rt, dimsX) if blocked else rt
                 order = jnp.argsort(key)
                 inv = jnp.argsort(order)
                 wts = st.StencilCoefficients(*(v[order] for v in wtX))
@@ -570,16 +575,15 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     # combine touch per-sample shapes
     B0, nr0, nc0, BS0, H0, W0 = dims0[:6]
     BP0 = dims0[8]
+    rows0, lanes0, _Wf0 = fine_dims(dims0)
 
     def pad_block(x):
-        x = jnp.pad(x.astype(f32),
-                    ((0, BP0 - B0), (0, H0 - nr0), (0, W0 - nc0)))
-        return x.reshape(BP0 // BS0, BS0 * H0, W0)
+        return pack_fine(x, dims0)
 
     def to_samples(xb):
-        return xb.reshape(BP0, H0, W0)[:B, :nr0, :nc0]
+        return unpack_fine(xb, dims0)
 
-    zero_b = jnp.zeros((BP0 // BS0, BS0 * H0, W0), f32)
+    zero_b = jnp.zeros((BP0 // BS0, rows0, lanes0), f32)
     if x0 is None:
         xh0, xl0 = zero_b, zero_b
         rt0 = prepdd0.bth  # blocked bt hi — free (reused from the prep)
@@ -616,7 +620,7 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         t2K = t2s[idx]
 
         def gather_block(xb):
-            return xb.reshape(BP0, H0, W0)[idx, :nr0, :nc0]
+            return fine_to_samples(xb, dims0)[idx, :nr0, :nc0]
 
         # per-phase budget + reset improvement baseline: a sample that
         # stalled under the previous phase's kernel may still improve here
@@ -628,8 +632,9 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                              stK)
 
         def scatter_block(xb, xs):
-            flat = xb.reshape(BP0, H0, W0)
-            return flat.at[idx, :nr0, :nc0].set(xs).reshape(xb.shape)
+            flat = fine_to_samples(xb, dims0)
+            return fine_from_samples(flat.at[idx, :nr0, :nc0].set(xs),
+                                     dims0)
 
         xh = scatter_block(xh, stK[0])
         xl = scatter_block(xl, stK[1])
@@ -796,6 +801,7 @@ def solve_pcg_mixed(
                    tl.coarse_stride(grid_shape[1]))
         _opts = dict(inner_opts)
         _packed = bool(_opts.pop("packed_coarse", True))
+        _packed_f = bool(_opts.pop("packed_fine", False))
         inner_opts = tuple(_opts.items())
         wt3 = st.StencilCoefficients(
             *(jnp.broadcast_to(v, batch + grid_shape)
@@ -823,7 +829,8 @@ def solve_pcg_mixed(
             co = tl.CoarseOperator(bands=coarse.bands[order],
                                    sg=coarse.sg[order])
             prep2l, dims2l = prepare_2l(wts, dh3[order], co, strides,
-                                        packed_coarse=_packed)
+                                        packed_coarse=_packed,
+                                        packed_fine=_packed_f)
             x3, its = cg_2l_prepared(
                 prep2l, dims2l, rt3, rtol2.reshape(-1)[order],
                 # cap outer iterations: healthy samples need <= ~21 to the

@@ -161,6 +161,75 @@ def test_adaptive_round_tolerance_respects_target():
         assert float(info.relative_residual.max()) < 3 * tol
 
 
+def test_packed_fine_matches_stacked_layout():
+    """The lane-packed FINE layout (all BS samples in one (H, Lf) array at
+    lane pitch ``Wf = nc + 1``; per-sample scalars as (1, BS) lane vectors;
+    one shared row-restriction matmul + one block-diagonal lane matmul for
+    the coarse transfers) must reproduce the stacked layout's solve: same
+    preconditioner operator, so identical outer-iteration counts up to
+    reduction-order rounding."""
+    space = FemSpace((2, 2), 10)
+    a = np.array(
+        [[[INFINIT_A, 1.0], [1.0, INFINIT_A]], [[1e6, 1.0], [1.0, 1.0]],
+         [[1.0, 1.0], [1.0, 1e4]]]
+    )
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (3,) + space.grid_shape
+    )
+    outs = {}
+    for packed in (False, True):
+        x, info = solvers.solve_pcg_mixed(
+            w, rhs, tol=1e-11, inner="pallas_2l",
+            inner_opts=(("packed_fine", packed),),
+        )
+        assert float(info.relative_residual.max()) < 1e-10
+        outs[packed] = (np.asarray(x), np.asarray(info.iterations))
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-9,
+                               atol=1e-12)
+    assert np.all(np.abs(outs[True][1] - outs[False][1]) <= 3 * 5)
+
+
+def test_packed_fine_non_square_and_layout_roundtrip():
+    """Non-square geometry through the packed-fine path + exact pack/unpack
+    round-trips at awkward shapes (guard-lane pitch, lane-multiple nc)."""
+    from romhighcontrast_tpu.ops.pallas_cg_2l import (
+        fine_from_samples, fine_to_samples, pack_fine, unpack_fine,
+    )
+
+    space = FemSpace((3, 2), 9)  # nr != nc
+    rng = np.random.default_rng(5)
+    a = np.exp(rng.uniform(0, np.log(INFINIT_A), (4, 3, 2)))
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (4,) + space.grid_shape
+    )
+    x_ref, _ = solvers.solve_pcg_mixed(w, rhs, tol=1e-10, inner="pallas_2l")
+    x_pf, info = solvers.solve_pcg_mixed(
+        w, rhs, tol=1e-10, inner="pallas_2l",
+        inner_opts=(("packed_fine", True),),
+    )
+    assert float(info.relative_residual.max()) < 1e-9
+    np.testing.assert_allclose(np.asarray(x_pf), np.asarray(x_ref),
+                               rtol=1e-8, atol=1e-12)
+
+    for (B, nr, nc, BS) in [(3, 19, 19, 8), (5, 39, 79, 4), (2, 7, 128, 2)]:
+        Wf = nc + 1
+        H = -(-(nr + 1) // 8) * 8
+        W = -(-BS * Wf // 128) * 128
+        BP = -(-B // BS) * BS
+        dims = (B, nr, nc, BS, H, W, 8, 128, BP, 0, Wf)
+        x = jnp.asarray(rng.standard_normal((B, nr, nc)), jnp.float32)
+        xb = pack_fine(x, dims)
+        assert xb.shape == (BP // BS, H, W)
+        np.testing.assert_array_equal(np.asarray(unpack_fine(xb, dims)),
+                                      np.asarray(x))
+        v = fine_to_samples(xb, dims)
+        np.testing.assert_array_equal(
+            np.asarray(fine_from_samples(v, dims)), np.asarray(xb)
+        )
+
+
 def test_packed_coarse_matches_standard_layout():
     """The lane-packed coarse stage (all BS samples at lane pitch
     ``Wcp = m1c + 1`` in one (Hc, L) array — the round-3 perf lever) must
