@@ -10,9 +10,13 @@ Mapping notes:
     batched device execution (the reference's own measurements showed its
     pools were slower than serial: HighContrast.py:508-511).
   * ``method="lsq"`` maps to batched dense Cholesky, ``"lsqsparse"`` to the
-    stencil PCG.  ``"ridge"`` is intentionally unsupported (it existed as a
-    regularised fallback for singular systems; the PCG/Cholesky paths handle
-    the full contrast range).
+    stencil PCG.  ``"ridge"`` (SolutionsManagers.py:33-37: sklearn Ridge at
+    alpha=1e-15, i.e. Tikhonov-regularised normal equations) is implemented
+    literally in :func:`galerkin`; at the manager level it maps to the
+    Cholesky path (at alpha=1e-15 the regularisation is below f64 roundoff
+    of the normal equations, so the solutions agree to solver precision —
+    it existed as a fallback for singular systems, which the PCG/Cholesky
+    paths handle across the full contrast range).
   * solutions / coefficient arrays are drop-in interchangeable with the
     reference's (same interior-vertex row-major layout).
 """
@@ -48,15 +52,21 @@ from romhighcontrast_tpu.rom.estimators import (  # noqa: F401
     EstimatorTree,
 )
 
-_METHOD_MAP = {"lsq": "cholesky", "lsqsparse": "pcg"}
+_METHOD_MAP = {"lsq": "cholesky", "lsqsparse": "pcg", "ridge": "cholesky"}
 
 
-def galerkin(a, B_total, A_preassembled, method="lsq"):
+def galerkin(a, B_total, A_preassembled, method="lsq", ridge_alpha=1e-15):
     """Single dense affine solve (reference: SolutionsManagers.py:17-40).
 
     a: (nrb, ncb) or flat (Q,); A_preassembled: (nrb, ncb, dim, dim) or
     (Q, dim, dim).  Provided for API parity; the framework's hot path never
     materialises A_preassembled.
+
+    ``method="ridge"`` reproduces the reference's regularised fallback
+    (SolutionsManagers.py:33-37, ``Ridge(alpha=1e-15,
+    fit_intercept=False)``): the Tikhonov normal equations
+    ``(K^T K + alpha I) c = K^T b``, solved by Cholesky (the normal-
+    equations Gram is SPD for any K).
     """
     from romhighcontrast_tpu.ops.solvers import solve_cholesky
 
@@ -64,7 +74,11 @@ def galerkin(a, B_total, A_preassembled, method="lsq"):
     if A.ndim == 4:
         A = A.reshape((-1,) + A.shape[-2:])
     K = jnp.einsum("q,qij->ij", jnp.asarray(a).reshape(-1), A)
-    return np.asarray(solve_cholesky(K[None], jnp.asarray(B_total))[0])
+    b = jnp.asarray(B_total)
+    if method.lower() == "ridge":
+        G = K.T @ K + ridge_alpha * jnp.eye(K.shape[0], dtype=K.dtype)
+        return np.asarray(solve_cholesky(G[None], K.T @ b)[0])
+    return np.asarray(solve_cholesky(K[None], b)[0])
 
 
 class SolutionsManagerFEM(FemSpace):

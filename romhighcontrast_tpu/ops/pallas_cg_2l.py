@@ -83,9 +83,14 @@ def auto_block_size_packed(H: int, nc: int, m1r: int, m1c: int) -> int:
         Lf = _round_up(bs * (nc + 1), 128)
         Lc = _round_up(bs * (m1c + 1), 128)
         est = (34 * H * Lf + 2 * Lf * Lc + 14 * Hc * Lc + 2 * Hc * H) * 4
+        # the dd round-update kernel shares this blocked layout and its
+        # compensated-stencil temporaries peak at ~40 fine buffers
+        # (compiler-measured 16.17 MB at (160, 640) — a marginal compile
+        # that OOM'd on recompile; bound it explicitly)
+        est_dd = 40 * H * Lf * 4
         # 15.5 MB cap against the 16 MB scoped limit: the extras are now
         # explicit, so less slack is needed than the stacked model's 14 MB
-        if est <= 15.5 * 2**20:
+        if max(est, est_dd) <= 15.5 * 2**20:
             break
         bs //= 2
     return bs
@@ -426,6 +431,34 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
     ``Wf = 0`` in dims marks the stacked layout."""
     B, nr, nc = dh.shape
     m1r, m1c = coarse.sg.shape[-2:]
+    dims = plan_2l(B, nr, nc, m1r, m1c, block_size=block_size,
+                   packed_coarse=packed_coarse, packed_fine=packed_fine)
+
+    def padf(x):
+        return pack_fine(x, dims)
+
+    # dead Dirichlet-edge weights zeroed so the circular lane rolls stay
+    # correct when nc is an exact multiple of 128 (no zero guard column);
+    # the row axis always has >= 1 guard row (H >= nr + 1)
+    wt = st.StencilCoefficients(
+        wE=wt.wE.at[..., -1].set(0.0), wW=wt.wW.at[..., 0].set(0.0),
+        wS=wt.wS, wN=wt.wN, diag=wt.diag,
+    )
+    sg_p, cbands, xfer = coarse_prep(coarse, strides, dims)
+    prep = Prepared2L(
+        wE=padf(wt.wE), wW=padf(wt.wW), wS=padf(wt.wS), wN=padf(wt.wN),
+        dh=padf(dh), sg=sg_p, cbands=cbands,
+        Rrow=xfer[0], RrowT=xfer[1], Ccol=xfer[2], CcolT=xfer[3],
+    )
+    return prep, dims
+
+
+def plan_2l(B: int, nr: int, nc: int, m1r: int, m1c: int,
+            block_size: int | None = None, packed_coarse: bool = False,
+            packed_fine: bool = False) -> tuple:
+    """Layout planning only (no array work): the dims tuple for the given
+    problem/coarse sizes — shared by :func:`prepare_2l` and the fused
+    operand-build path (pallas_dd_round.build_dd_packed)."""
     H = _round_up(nr + 1, 8)
     Hc = _round_up(m1r + 1, 8)
     Wc = _round_up(m1c + 1, 128)
@@ -446,10 +479,19 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
         packed_coarse = False
     Wcp = (m1c + 1) if packed_coarse else 0
     L = _round_up(BS * Wcp, 128) if packed_coarse else Wc
-    dims = (B, nr, nc, BS, H, W, Hc, L, BP, Wcp, Wf)
+    return (B, nr, nc, BS, H, W, Hc, L, BP, Wcp, Wf)
 
-    def padf(x):
-        return pack_fine(x, dims)
+
+def coarse_prep(coarse: tl.CoarseOperator, strides: tuple[int, int],
+                dims: tuple):
+    """Pad/block the coarse operands + build the static transfer matrices
+    for the layout in ``dims``.  Returns ``(sg, cbands, (Rrow, RrowT, Ccol,
+    CcolT))``."""
+    B, nr, nc, BS, H, W, Hc, L, BP, Wcp = dims[:10]
+    Wf = dims[10] if len(dims) > 10 else 0
+    m1r, m1c = coarse.sg.shape[-2:]
+    packed_coarse = Wcp > 0
+    Wc = L if packed_coarse else _round_up(m1c + 1, 128)
 
     def padc(x):
         if packed_coarse:
@@ -474,36 +516,24 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
     )
     hr = tl.hat_matrix(nr, strides[0])
     hc = tl.hat_matrix(nc, strides[1])
-    if packed_fine:
+    if Wf:
         hrp = np.zeros((Hc, H), np.float32)
         hrp[:m1r, :nr] = hr
         Ccol = np.zeros((W, L), np.float32)
         for s in range(BS):
             Ccol[s * Wf : s * Wf + nc, s * Wcp : s * Wcp + m1c] = hc.T
-        Rrow, RrowT, Ccol, CcolT = (jnp.asarray(hrp), jnp.asarray(hrp.T),
-                                    jnp.asarray(Ccol), jnp.asarray(Ccol.T))
+        xfer = (jnp.asarray(hrp), jnp.asarray(hrp.T),
+                jnp.asarray(Ccol), jnp.asarray(Ccol.T))
     elif packed_coarse:
         hrp = np.zeros((Hc, H), np.float32)
         hrp[:m1r, :nr] = hr
         Ccol = np.zeros((W, 128), np.float32)
         Ccol[:nc, :m1c] = hc.T
-        Rrow, RrowT, Ccol, CcolT = (jnp.asarray(hrp), jnp.asarray(hrp.T),
-                                    jnp.asarray(Ccol), jnp.asarray(Ccol.T))
+        xfer = (jnp.asarray(hrp), jnp.asarray(hrp.T),
+                jnp.asarray(Ccol), jnp.asarray(Ccol.T))
     else:
-        Rrow, RrowT, Ccol, CcolT = _transfer_mats(hr, hc, BS, H, W, Hc, Wc)
-    # dead Dirichlet-edge weights zeroed so the circular lane rolls stay
-    # correct when nc is an exact multiple of 128 (no zero guard column);
-    # the row axis always has >= 1 guard row (H >= nr + 1)
-    wt = st.StencilCoefficients(
-        wE=wt.wE.at[..., -1].set(0.0), wW=wt.wW.at[..., 0].set(0.0),
-        wS=wt.wS, wN=wt.wN, diag=wt.diag,
-    )
-    prep = Prepared2L(
-        wE=padf(wt.wE), wW=padf(wt.wW), wS=padf(wt.wS), wN=padf(wt.wN),
-        dh=padf(dh), sg=padc(coarse.sg), cbands=cbands,
-        Rrow=Rrow, RrowT=RrowT, Ccol=Ccol, CcolT=CcolT,
-    )
-    return prep, dims
+        xfer = _transfer_mats(hr, hc, BS, H, W, Hc, Wc)
+    return padc(coarse.sg), cbands, xfer
 
 
 def cg_2l_prepared(

@@ -112,6 +112,179 @@ def _dd_round_kernel(wEh_ref, wEl_ref, wWh_ref, wWl_ref, wSh_ref, wSl_ref,
         rr_out[0] = rr
 
 
+def _dd_build_kernel(chih_ref, chil_ref, bh_ref, bl_ref,
+                     mI_ref, mE_ref, mW_ref, mS_ref, mN_ref,
+                     wEh_o, wEl_o, wWh_o, wWl_o, wSh_o, wSl_o,
+                     wNh_o, wNl_o, bth_o, btl_o, diag_o, dh_o, sh_o, sl_o):
+    """Fused construction of ALL blocked dd operands from packed cell-
+    coefficient grids (lane-packed fine layout only).
+
+    The XLA version of this build (build_dd_scaled_from_blocks + the prep
+    packing) measured 4.3-4.9 ms/1000 samples at the paper config — ~20%
+    of the whole solve.  This kernel keeps every intermediate in VMEM, but
+    measured a WASH against the XLA pipeline (interleaved A/B 2026-08-18:
+    4.3 ms kernel-only vs 4.3-4.9 ms XLA): the ~600 f32 EFT ops/element
+    make the build VPU-COMPUTE-bound, not HBM-bound.  The piecewise
+    class-grid build (ops/piecewise.py, the default) removes the compute
+    instead; this kernel remains the ``build="kernel"`` option and the
+    bit-exactness oracle for it.
+
+    Boundary semantics are carried by five static 0/1 masks (shared across
+    blocks) instead of the XLA build's zero-fill shifts: the circular rolls'
+    wrap garbage lands only in masked rows/lanes, and the scaled-plane masks
+    reproduce st._shift's zero-filled far edges (wE last col, wW col 0,
+    wS last row, wN row 0) exactly.
+    """
+    f32 = jnp.float32
+    chi, clo = chih_ref[0], chil_ref[0]
+    bh, bl = bh_ref[0], bl_ref[0]
+    mI = mI_ref[...]
+    mE, mW, mS, mN = mE_ref[...], mW_ref[...], mS_ref[...], mN_ref[...]
+
+    def corner(dr, dc):
+        # cell value at (i + dr, j + dc) via circular rolls; wrap garbage is
+        # confined to masked rows/lanes (cells span nr+1 rows <= H and
+        # exactly the Wf-lane slot, so in-range reads never cross samples)
+        h, l = chi, clo
+        if dr:
+            h, l = _neighbor(h, 0, -1), _neighbor(l, 0, -1)
+        if dc:
+            h, l = _neighbor(h, 1, -1), _neighbor(l, 1, -1)
+        return h, l
+
+    cSE = corner(1, 1)
+    cNE = corner(0, 1)
+    cSW = corner(1, 0)
+    cNW = (chi, clo)
+
+    def avg(a, b):
+        # exact dd edge average 0.5 * (a + b) (two-sum; 0.5 scale is exact)
+        s, e = dd.two_sum(a[0], b[0])
+        h, l = dd.fast_two_sum(s, e + (a[1] + b[1]))
+        return f32(0.5) * h * mI, f32(0.5) * l * mI
+
+    wE = avg(cSE, cNE)
+    wW = avg(cSW, cNW)
+    wS = avg(cSE, cSW)
+    wN = avg(cNE, cNW)
+    dgh, dgl = dd.dd_add(*wE, *wW)
+    dgh, dgl = dd.dd_add(dgh, dgl, *wS)
+    dgh, dgl = dd.dd_add(dgh, dgl, *wN)
+    one = f32(1.0)
+    # masked rows/lanes AND padded (all-zero) samples get diag 1 so the
+    # rsqrt stays finite (0 * inf = NaN would otherwise leak through the
+    # masked products)
+    safe = (dgh > 0).astype(f32)
+    sh, sl = dd.dd_rsqrt(jnp.where(safe > 0, dgh, one), dgl * safe)
+
+    def plane(w, axis, shift, mask):
+        th, tl_ = dd.dd_mul(w[0], w[1], sh, sl)
+        nh = _neighbor(sh, axis, shift)
+        nl = _neighbor(sl, axis, shift)
+        ph, pl_ = dd.dd_mul(th, tl_, nh, nl)
+        return ph * mask, pl_ * mask
+
+    wEh_o[0], wEl_o[0] = plane(wE, 1, -1, mE)
+    wWh_o[0], wWl_o[0] = plane(wW, 1, 1, mW)
+    wSh_o[0], wSl_o[0] = plane(wS, 0, -1, mS)
+    wNh_o[0], wNl_o[0] = plane(wN, 0, 1, mN)
+    th, tl_ = dd.dd_mul(bh, bl, sh, sl)
+    bth_o[0], btl_o[0] = th * mI, tl_ * mI
+    diag_o[0] = dgh * mI
+    dh_o[0] = jnp.sqrt(jnp.maximum(dgh, f32(0.0))) * mI
+    sh_o[0] = sh
+    sl_o[0] = sl
+
+
+class PackedOperands(NamedTuple):
+    """All blocked (packed-fine layout) per-solve operands emitted by the
+    fused build kernel.  The hi weight planes double as the two-level CG
+    kernel's (unit-diagonal) symmetrized weights — no second packing pass."""
+
+    wEh: jnp.ndarray
+    wEl: jnp.ndarray
+    wWh: jnp.ndarray
+    wWl: jnp.ndarray
+    wSh: jnp.ndarray
+    wSl: jnp.ndarray
+    wNh: jnp.ndarray
+    wNl: jnp.ndarray
+    bth: jnp.ndarray
+    btl: jnp.ndarray
+    diag: jnp.ndarray
+    dh: jnp.ndarray
+    sh: jnp.ndarray
+    sl: jnp.ndarray
+
+
+def _build_masks(dims):
+    import numpy as np
+
+    B, nr, nc, BS, H, W = dims[:6]
+    Wf = dims[10]
+    m = np.zeros((H, W), np.float32)
+    for s in range(BS):
+        m[:nr, s * Wf : s * Wf + nc] = 1.0
+    mE, mW_, mS, mN = m.copy(), m.copy(), m.copy(), m.copy()
+    for s in range(BS):
+        mE[:, s * Wf + nc - 1] = 0.0
+        mW_[:, s * Wf] = 0.0
+    mS[nr - 1, :] = 0.0
+    mN[0, :] = 0.0
+    return tuple(jnp.asarray(x) for x in (m, mE, mW_, mS, mN))
+
+
+def build_dd_packed(a: jnp.ndarray, N: int, b3: jnp.ndarray, dims: tuple,
+                    interpret: bool = False) -> PackedOperands:
+    """Run the fused operand-build kernel: block coefficients ``a``
+    ``(B, nrb, ncb)`` (f64) + rhs ``b3`` ``(B, nr, nc)`` (f64, possibly a
+    broadcast) -> every blocked operand of the packed-fine solve.  Only the
+    tiny coefficient split, the rhs split, and the cell-grid packing run in
+    XLA.  Semantics match build_dd_scaled_from_blocks + prepare_dd +
+    prepare_2l's weight packing to the last bit (tested)."""
+    from romhighcontrast_tpu.ops.pallas_cg_2l import pack_fine
+
+    B, nr, nc, BS, H, W = dims[:6]
+    BP = dims[8]
+    Wf = dims[10] if len(dims) > 10 else 0
+    if not Wf:
+        raise ValueError("build_dd_packed requires the packed-fine layout")
+    f32 = jnp.float32
+    if a.dtype == jnp.float64:
+        ah64, al64 = dd.dd_from_f64(a)
+    else:
+        ah64, al64 = a, jnp.zeros_like(a)
+    chi = st.cell_grid(ah64.astype(f32), N)
+    clo = st.cell_grid(al64.astype(f32), N)
+    cdims = (B, nr + 1, nc + 1) + tuple(dims[3:])
+    chip, clop = pack_fine(chi, cdims), pack_fine(clo, cdims)
+    if b3.dtype == jnp.float64:
+        bh, bl = dd.dd_from_f64(b3)
+    else:
+        bh, bl = b3.astype(f32), jnp.zeros_like(b3, f32)
+    bhp, blp = pack_fine(bh, dims), pack_fine(bl, dims)
+    masks = _build_masks(dims)
+
+    fspec = pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def smat(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    out_sds = jax.ShapeDtypeStruct((BP // BS, H, W), f32)
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            _dd_build_kernel,
+            grid=(BP // BS,),
+            in_specs=[fspec] * 4 + [smat(m) for m in masks],
+            out_specs=(fspec,) * 14,
+            out_shape=(out_sds,) * 14,
+            interpret=interpret,
+        )(chip, clop, bhp, blp, *masks)
+    return PackedOperands(*outs)
+
+
 class DDOperands(NamedTuple):
     """Per-sample (hi, lo) f32 pairs of the scaled operator/rhs, unblocked
     ``(B, nr, nc)`` — the gatherable form (the compact straggler phase

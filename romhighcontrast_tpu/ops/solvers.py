@@ -421,12 +421,14 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     from romhighcontrast_tpu.ops import dd
     from romhighcontrast_tpu.ops import twolevel as tl
     from romhighcontrast_tpu.ops.pallas_cg_2l import (
-        cg_2l_prepared, fine_dims, fine_from_samples, fine_to_samples,
-        pack_fine, prepare_2l, unpack_fine,
+        Prepared2L, cg_2l_prepared, coarse_prep, fine_dims,
+        fine_from_samples, fine_to_samples, pack_fine, plan_2l, prepare_2l,
+        unpack_fine,
     )
     from romhighcontrast_tpu.ops.pallas_dd_round import (
-        build_dd_scaled, build_dd_scaled_from_blocks, dd_dims, dd_round,
-        gather_dd, prepare_dd,
+        DDOperands, PreparedDD, build_dd_packed, build_dd_scaled,
+        build_dd_scaled_from_blocks, dd_dims, dd_round, gather_dd,
+        prepare_dd,
     )
 
     f32 = jnp.float32
@@ -441,6 +443,15 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     # VPU work on 79 of 128 lanes); the stacked layout remains reachable
     # via inner_opts for A/B and for shapes the packed layout rejects
     packed_fine = bool(_opts.pop("packed_fine", True))
+    # operand build: "kernel" (default) is the fused Pallas fine-grid EFT;
+    # "xla" the unblocked XLA EFT pipeline; "piecewise" compresses the EFT
+    # to the O(blocks) class grid + exact one-hot expansion matmuls.
+    # Interleaved TPU sweep 2026-08-18 (paper config, 4 passes): kernel
+    # 36.4k, xla 36.0k, piecewise 34.0k solves/s — the expansion's 13
+    # Precision.HIGHEST matmuls + layout passes cost MORE than the
+    # fine-grid EFT compute they remove (do-not-retry; the EFT is only
+    # ~20% of the solve and kernel/xla already overlap it).
+    build = str(_opts.pop("build", "kernel"))
     block_size = _opts.pop("block_size", None)
     inner_opts = tuple(_opts.items())
 
@@ -457,25 +468,21 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     safe_b = jnp.where(bnorm2 == 0, 1.0, bnorm2)
     tol2bb = ((tol * tol) * safe_b).astype(f32)
 
-    if a_blocks is not None:
-        # EFT pipeline straight from the block coefficients — the f64
-        # stencil-weight arrays are never materialized (XLA dead-code
-        # eliminates the caller's build), saving ~5 full-grid f64 passes
-        a3 = jnp.asarray(a_blocks).reshape((-1,) + a_blocks.shape[-2:])
-        ops, w32 = build_dd_scaled_from_blocks(a3, block_N, b3)
-    else:
-        ops = build_dd_scaled(w3, b3)
-        # coarse operator / warp for the two-level inner: plain f32
-        # precision suffices (preconditioner-side only)
-        w32 = st.StencilCoefficients(*(v.astype(f32) for v in w3))
-    dh3 = jnp.sqrt(w32.diag)
-    coarse = tl.assemble_coarse(w32, *strides)
-
     def hi_weights(o):
         return st.StencilCoefficients(
             wE=o.wE[0], wW=o.wW[0], wS=o.wS[0], wN=o.wN[0],
             diag=jnp.ones_like(o.diag),
         )
+
+    a3 = (jnp.asarray(a_blocks).reshape((-1,) + a_blocks.shape[-2:])
+          if a_blocks is not None else None)
+    fused = a3 is not None and packed_fine and build != "xla"
+    if fused:
+        m1r = tl.hat_matrix(nr, strides[0]).shape[0]
+        m1c = tl.hat_matrix(nc, strides[1]).shape[0]
+        dims0 = plan_2l(B, nr, nc, m1r, m1c, block_size=block_size,
+                        packed_fine=True)
+        fused = bool(dims0[10])  # plan may fall back to the stacked layout
 
     # NO global difficulty sort: full-batch rounds keep every block active
     # regardless of order (round-2 measured fixed-vs-sorted full rounds a
@@ -483,22 +490,77 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     # (~5 ms/1000 samples of pure HBM copies).  The compact straggler
     # phase keeps its per-round REAL-count sort — there packing is the
     # point.
-    ops_s = ops
-    wt_s = hi_weights(ops_s)
-    co_s = coarse
-    prep2l0, dims0 = prepare_2l(wt_s, dh3, co_s, strides,
-                                block_size=block_size,
-                                packed_coarse=packed_coarse,
-                                packed_fine=packed_fine)
-    prepdd0 = prepare_dd(ops_s, dims0)
+    if fused:
+        # Blocked operands built straight from the block coefficients, in
+        # one of two equivalent ways (bit-identical hi parts, tested):
+        # "kernel" (default) runs the full fine-grid EFT in one fused
+        # Pallas pass; "piecewise" runs it on the tiny O(blocks) class
+        # grid and expands by exact one-hot matmuls (ops/piecewise.py —
+        # measured 6% slower, kept for A/B).  Only the coarse operator
+        # still assembles in XLA, from plain-f32 stencil weights (~1 ulp
+        # from the EFT hi parts; preconditioner-side only).
+        if build == "piecewise":
+            from romhighcontrast_tpu.ops.piecewise import (
+                build_dd_small, expand_packed_operands, expand_raw,
+            )
+
+            small = build_dd_small(a3, block_N, nr, nc)
+            Kb = expand_packed_operands(small, b3, block_N, dims0)
+            w32f = expand_raw(small)
+        else:
+            Kb = build_dd_packed(a3, block_N, b3, dims0,
+                                 interpret=interpret)
+            w32f = st.stencil_weights(st.cell_grid(a3.astype(f32),
+                                                   block_N))
+        coarse = tl.assemble_coarse(w32f, *strides)
+        sg_p, cbands, xfer = coarse_prep(coarse, strides, dims0)
+        prep2l0 = Prepared2L(
+            wE=Kb.wEh, wW=Kb.wWh, wS=Kb.wSh, wN=Kb.wNh, dh=Kb.dh,
+            sg=sg_p, cbands=cbands,
+            Rrow=xfer[0], RrowT=xfer[1], Ccol=xfer[2], CcolT=xfer[3],
+        )
+        prepdd0 = PreparedDD(
+            wEh=Kb.wEh, wEl=Kb.wEl, wWh=Kb.wWh, wWl=Kb.wWl,
+            wSh=Kb.wSh, wSl=Kb.wSl, wNh=Kb.wNh, wNl=Kb.wNl,
+            bth=Kb.bth, btl=Kb.btl, diag=Kb.diag,
+        )
+        ops_s = None
+        wt_s = None  # phase C unpacks the hi planes lazily inside its body
+    else:
+        Kb = None
+        if a3 is not None:
+            # EFT pipeline straight from the block coefficients — the f64
+            # stencil-weight arrays are never materialized (XLA dead-code
+            # eliminates the caller's build), saving ~5 full-grid f64 passes
+            ops, w32 = build_dd_scaled_from_blocks(a3, block_N, b3)
+        else:
+            ops = build_dd_scaled(w3, b3)
+            # coarse operator / warp for the two-level inner: plain f32
+            # precision suffices (preconditioner-side only)
+            w32 = st.StencilCoefficients(*(v.astype(f32) for v in w3))
+        dh3 = jnp.sqrt(w32.diag)
+        coarse = tl.assemble_coarse(w32, *strides)
+        ops_s = ops
+        wt_s = hi_weights(ops_s)
+        prep2l0, dims0 = prepare_2l(wt_s, dh3, coarse, strides,
+                                    block_size=block_size,
+                                    packed_coarse=packed_coarse,
+                                    packed_fine=packed_fine)
+        prepdd0 = prepare_dd(ops_s, dims0)
     if "deg" not in dict(inner_opts):
-        # Measured (packed coarse, interleaved TPU sweeps 2026-08-17):
-        # deg-4 fine Chebyshev beats deg-3 by ~1.5% (mesh 20, BS=8) and
-        # ~10% (mesh 40, BS=2) but LOSES ~20% at BS=1 (mesh 64) — with
-        # multiple samples per block, fewer outer iterations also shrink
-        # the run-to-block-max synchronization waste; at BS=1 there is no
-        # such waste and the extra matvec per outer dominates.
-        inner_opts = inner_opts + (("deg", 4 if dims0[3] >= 2 else 3),)
+        if len(dims0) > 10 and dims0[10]:
+            # Lane-PACKED fine layout (interleaved TPU sweeps 2026-08-18,
+            # per-BS optima): BS=8 (mesh 20) deg-3 36.3k vs deg-4 35.5k;
+            # BS=2 (mesh 40) deg-5 3,852 vs deg-4 3,727 vs deg-3 3,476;
+            # BS=1 (mesh 64) deg-3 1,800 vs deg-5 1,653 vs deg-4 1,626.
+            # Non-monotone in BS — a measured lookup, not a theory.
+            deg = {8: 3, 4: 4, 2: 5}.get(dims0[3], 3)
+        else:
+            # stacked layout (sweeps 2026-08-17): deg-4 beats deg-3 at
+            # BS>=2 but loses ~20% at BS=1 — with multiple samples per
+            # block fewer outers also shrink run-to-block-max sync waste
+            deg = 4 if dims0[3] >= 2 else 3
+        inner_opts = inner_opts + (("deg", deg),)
     mv2l = int(dict(inner_opts).get("deg", 3)) + 1
     t2s = tol2bb
 
@@ -540,7 +602,20 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                 rt_s = unpack_fine(rt, dimsX) if blocked else rt
                 order = jnp.argsort(key)
                 inv = jnp.argsort(order)
-                wts = st.StencilCoefficients(*(v[order] for v in wtX))
+                if wtX is None:
+                    # fused path: unpack the hi planes lazily INSIDE the
+                    # body so the (normally zero-trip) safety loop does not
+                    # pay 4 full-array unpacks on every solve
+                    wt_l = st.StencilCoefficients(
+                        wE=unpack_fine(prepddX.wEh, dimsX),
+                        wW=unpack_fine(prepddX.wWh, dimsX),
+                        wS=unpack_fine(prepddX.wSh, dimsX),
+                        wN=unpack_fine(prepddX.wNh, dimsX),
+                        diag=jnp.ones((dimsX[0],) + tuple(dimsX[1:3]), f32),
+                    )
+                else:
+                    wt_l = wtX
+                wts = st.StencilCoefficients(*(v[order] for v in wt_l))
                 x3, its = cg_symmetrized_pallas_v2(
                     wts, rt_s[order], tol=1e-4, maxiter=maxiter_inner,
                     interpret=interpret,
@@ -590,12 +665,19 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         rr0 = bnorm2.astype(f32)
     else:
         # warm start: one dd pass initializes the residual state from x0
-        from romhighcontrast_tpu.ops import dd as _dd
-
-        xt0 = (jnp.asarray(x0, b3.dtype).reshape((-1,) + grid_shape)
-               / _dd.dd_to_f64(*ops.s))
-        hh, ll = dd.dd_from_f64(xt0)
-        xh0, xl0 = pad_block(hh), pad_block(ll)
+        x0_3 = jnp.asarray(x0, b3.dtype).reshape((-1,) + grid_shape)
+        if fused:
+            # divide by s in the blocked layout (s lives packed); the
+            # dtype-preserving pack keeps x0 in f64 through the division
+            pad = ((0, BP0 - B), (0, H0 - nr0), (0, _Wf0 - nc0))
+            x0_b = fine_from_samples(jnp.pad(x0_3, pad), dims0)
+            xt0 = x0_b / dd.dd_to_f64(Kb.sh, Kb.sl)
+            hh_b, ll_b = dd.dd_from_f64(xt0)
+            xh0, xl0 = hh_b.astype(f32), ll_b.astype(f32)
+        else:
+            xt0 = x0_3 / dd.dd_to_f64(*ops_s.s)
+            hh, ll = dd.dd_from_f64(xt0)
+            xh0, xl0 = pad_block(hh), pad_block(ll)
         xh0, xl0, rt0, rr0 = dd_round(prepdd0, dims0, xh0, xl0, zero_b,
                                       t2s, interpret=interpret,
                                       blocked_state=True, d_blocked=True)
@@ -614,7 +696,21 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
 
     if phase_b:
         _, idx = lax.top_k(rr / t2s, K)
-        opsK = gather_dd(ops_s, idx)
+        if fused:
+            # gather the compact subproblem's operands from the packed
+            # arrays (XLA fuses the slice/transpose/gather into one copy of
+            # (K, nr, nc) per array — no full unblocked materialization)
+            def gp(xb):
+                return fine_to_samples(xb, dims0)[idx, :nr0, :nc0]
+
+            opsK = DDOperands(
+                wE=(gp(Kb.wEh), gp(Kb.wEl)), wW=(gp(Kb.wWh), gp(Kb.wWl)),
+                wS=(gp(Kb.wSh), gp(Kb.wSl)), wN=(gp(Kb.wNh), gp(Kb.wNl)),
+                bt=(gp(Kb.bth), gp(Kb.btl)), diag=gp(Kb.diag),
+                s=(gp(Kb.sh), gp(Kb.sl)),
+            )
+        else:
+            opsK = gather_dd(ops_s, idx)
         dimsK = dd_dims(K, nr, nc)
         prepddK = prepare_dd(opsK, dimsK)
         t2K = t2s[idx]
@@ -656,8 +752,14 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     iters = state[5]
 
     # the ONLY f64 arithmetic of the whole solve: x = s * (hi + lo)
-    xsh, xsl = dd.dd_mul(to_samples(xh), to_samples(xl), *ops_s.s)
-    x = dd.dd_to_f64(xsh, xsl)
+    if fused:
+        # combine in the blocked layout (s lives packed); padded regions
+        # hold x = 0 so their masked-1 scale is inert
+        xsh, xsl = dd.dd_mul(xh, xl, Kb.sh, Kb.sl)
+        x = unpack_fine(dd.dd_to_f64(xsh, xsl), dims0)
+    else:
+        xsh, xsl = dd.dd_mul(to_samples(xh), to_samples(xl), *ops_s.s)
+        x = dd.dd_to_f64(xsh, xsl)
     rel = jnp.sqrt(rr.astype(b3.dtype) / safe_b)
     return (
         x.reshape(batch + grid_shape),

@@ -39,6 +39,22 @@ def test_galerkin_function_matches_solve(sm):
     np.testing.assert_allclose(coefs, direct, rtol=1e-8)
 
 
+def test_galerkin_ridge_matches_direct_solve(sm):
+    """The reference's regularised fallback (SolutionsManagers.py:33-37,
+    sklearn Ridge alpha=1e-15 on the assembled system): at that alpha the
+    Tikhonov term is far below the normal-equations roundoff, so the ridge
+    solution must agree with the direct solve to ~sqrt(eps)*kappa (the
+    normal equations square the condition number)."""
+    a = np.array([[1.0, 50.0], [10.0, 2.0]])
+    coefs = galerkin(a, sm.B_total, sm.A_preassembled, method="ridge")
+    direct = np.asarray(sm.solve(a, method="cholesky"))
+    np.testing.assert_allclose(coefs, direct, rtol=1e-5, atol=1e-12)
+    # manager-level method="ridge" routes to the Cholesky path
+    sm_r = SolutionsManagerFEM(blocks_geometry=(2, 2), N=5, method="ridge")
+    sols = sm_r.generate_solutions(a2try=a[None])
+    assert sols.shape == (1, sm_r.vspace_dim)
+
+
 def test_generate_solutions_reference_signature(sm):
     a2try = np.ones((3, 2, 2))
     a2try[0, 0, 0] = INFINIT_A

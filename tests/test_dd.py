@@ -201,3 +201,110 @@ def test_build_dd_scaled_from_blocks_matches_f64():
     # w32 = f32 unscaled weights for the coarse assembly
     np.testing.assert_allclose(np.asarray(w32.diag),
                                np.asarray(w.diag).astype(np.float32), rtol=0)
+
+
+def test_build_dd_packed_matches_xla_build():
+    """The fused Pallas operand-build kernel must reproduce
+    build_dd_scaled_from_blocks + prepare_dd exactly on the hi parts and to
+    sub-2^-48 on the lo parts (the XLA build's own fusion order differs)."""
+    from romhighcontrast_tpu.ops import twolevel as tl
+    from romhighcontrast_tpu.ops.pallas_cg_2l import pack_fine, plan_2l
+    from romhighcontrast_tpu.ops.pallas_dd_round import (
+        build_dd_packed,
+        build_dd_scaled_from_blocks,
+        prepare_dd,
+    )
+
+    rng = np.random.default_rng(0)
+    for (nrb, ncb, N) in [(2, 2, 10), (3, 2, 9)]:
+        B = 5
+        a = jnp.asarray(
+            np.exp(rng.uniform(0, np.log(1e10), (B, nrb, ncb)))
+        )
+        nr, nc = nrb * N - 1, ncb * N - 1
+        sr, sc = tl.coarse_stride(nr), tl.coarse_stride(nc)
+        m1r = tl.hat_matrix(nr, sr).shape[0]
+        m1c = tl.hat_matrix(nc, sc).shape[0]
+        dims = plan_2l(B, nr, nc, m1r, m1c, packed_fine=True)
+        b3 = jnp.broadcast_to(
+            jnp.asarray(rng.standard_normal((nr, nc))), (B, nr, nc)
+        )
+        K = build_dd_packed(a, N, b3, dims, interpret=True)
+        ops, w32 = build_dd_scaled_from_blocks(a, N, b3)
+        prepdd = prepare_dd(ops, dims)
+        for name in ("wEh", "wWh", "wSh", "wNh", "bth", "diag"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(K, name)),
+                np.asarray(getattr(prepdd, name)), err_msg=name,
+            )
+        for name in ("wEl", "wWl", "wSl", "wNl", "btl"):
+            got = np.asarray(getattr(K, name))
+            want = np.asarray(getattr(prepdd, name))
+            hi = np.abs(np.asarray(getattr(prepdd, name[:-1] + "h"))).max()
+            assert np.abs(got - want).max() <= 2 ** -46 * max(hi, 1.0), name
+        np.testing.assert_array_equal(
+            np.asarray(K.dh), np.asarray(pack_fine(jnp.sqrt(w32.diag), dims))
+        )
+        m = np.asarray(pack_fine(jnp.ones((B, nr, nc)), dims))
+        np.testing.assert_array_equal(
+            np.asarray(K.sh) * m, np.asarray(pack_fine(ops.s[0], dims))
+        )
+
+
+def test_piecewise_build_matches_fused():
+    """The class-grid EFT + one-hot expansion (ops/piecewise.py) must
+    reproduce the fused fine-grid build kernel to the dd contract: hi
+    parts to 1 ulp, lo parts to 2^-46 relative (identical formulas on
+    identical inputs; the residual fuzz is XLA's fusion-order freedom on
+    the compensation chains, same allowance as the kernel-vs-XLA test),
+    and the padding conventions (operands 0, scale 1) must match the
+    kernel's mask/safe semantics exactly."""
+    from romhighcontrast_tpu.ops import twolevel as tl
+    from romhighcontrast_tpu.ops.pallas_cg_2l import pack_fine, plan_2l
+    from romhighcontrast_tpu.ops.pallas_dd_round import build_dd_packed
+    from romhighcontrast_tpu.ops.piecewise import (
+        build_dd_small,
+        expand_packed_operands,
+        expand_raw,
+    )
+    from romhighcontrast_tpu.ops import stencil as st
+
+    rng = np.random.default_rng(3)
+    for (nrb, ncb, N, B) in [(2, 2, 10, 5), (3, 2, 9, 3), (4, 4, 5, 2)]:
+        a = jnp.asarray(
+            np.exp(rng.uniform(0, np.log(1e10), (B, nrb, ncb)))
+        )
+        nr, nc = nrb * N - 1, ncb * N - 1
+        sr, sc = tl.coarse_stride(nr), tl.coarse_stride(nc)
+        m1r = tl.hat_matrix(nr, sr).shape[0]
+        m1c = tl.hat_matrix(nc, sc).shape[0]
+        dims = plan_2l(B, nr, nc, m1r, m1c, packed_fine=True)
+        b3 = jnp.asarray(rng.standard_normal((B, nr, nc)))
+        Kf = build_dd_packed(a, N, b3, dims, interpret=True)
+        small = build_dd_small(a, N, nr, nc)
+        Kp = expand_packed_operands(small, b3, N, dims)
+        for name in Kp._fields:
+            got = np.asarray(getattr(Kp, name))
+            want = np.asarray(getattr(Kf, name))
+            if name.endswith("l"):  # compensation (lo) parts
+                hi = np.abs(np.asarray(getattr(Kf, name[:-1] + "h"))).max()
+                assert np.abs(got - want).max() <= 2 ** -46 * max(hi, 1.0), \
+                    name
+            else:
+                np.testing.assert_allclose(got, want, rtol=2 ** -22,
+                                           atol=0, err_msg=name)
+        # the padding conventions must match EXACTLY (scale 1, operands 0)
+        m = np.asarray(pack_fine(jnp.ones((B, nr, nc)), dims))
+        assert np.all(np.asarray(Kp.sh)[m == 0] == 1.0)
+        np.testing.assert_array_equal(np.asarray(Kp.diag) * m,
+                                      np.asarray(Kp.diag))
+        # unscaled raw weights (coarse assembly input): match the EFT hi
+        # parts of the direct fine-grid build
+        w = st.stencil_weights(st.cell_grid(a, N))
+        raw = expand_raw(small)
+        for f in w._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(raw, f)),
+                np.asarray(getattr(w, f)).astype(np.float32),
+                rtol=1e-7, err_msg=f,
+            )
