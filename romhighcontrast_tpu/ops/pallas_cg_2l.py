@@ -172,7 +172,7 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
                    CcolT_ref, x_ref, it_ref, *, maxiter: int, BS: int,
                    H: int, deg: int, lmin: float, lmax: float, dc: int,
                    clmin: float, clmax: float, xfer_bf16: bool = False,
-                   Wcp: int = 0, Wf: int = 0):
+                   Wcp: int = 0, Wf: int = 0, fuse_dots: bool = False):
     f32 = jnp.float32
     wE, wW, wS, wN = wE_ref[0], wW_ref[0], wS_ref[0], wN_ref[0]
     b = b_ref[0]
@@ -207,6 +207,16 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
             part = jnp.sum(u * v, axis=0, keepdims=True)  # (1, Lf)
             return jnp.dot(part, Ssel, preferred_element_type=f32)
 
+        def dots2(u, v, w):
+            # (u.v, u.w) through ONE lane-selection matmul: the two (1, Lf)
+            # partials stack on the sublane axis, so the pair costs one
+            # (2, Lf) x (Lf, BS) MXU pass instead of two
+            parts = jnp.concatenate(
+                [jnp.sum(u * v, axis=0, keepdims=True),
+                 jnp.sum(u * w, axis=0, keepdims=True)], axis=0)
+            res = jnp.dot(parts, Ssel, preferred_element_type=f32)
+            return res[0:1, :], res[1:2, :]
+
         def to_rows(c):  # (1, BS) -> (1, Lf), row-broadcast at use sites
             return jnp.dot(c, Ssel.T, preferred_element_type=f32)
     else:
@@ -219,6 +229,14 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
         def dots(u, v):
             part = jnp.dot(S, u * v, preferred_element_type=f32)
             return jnp.sum(part, axis=1, keepdims=True)
+
+        def dots2(u, v, w):
+            # both products through ONE (BS, rows) x (rows, 2W) matmul
+            part = jnp.dot(S, jnp.concatenate([u * v, u * w], axis=1),
+                           preferred_element_type=f32)
+            W_ = u.shape[1]
+            return (jnp.sum(part[:, :W_], axis=1, keepdims=True),
+                    jnp.sum(part[:, W_:], axis=1, keepdims=True))
 
         def to_rows(c):
             return jnp.dot(S.T, c, preferred_element_type=f32)
@@ -363,8 +381,10 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
         x = x + ar * p
         r = r - ar * Kp
         z = precond(r)
-        rz_new = dots(r, z)
-        rr_new = dots(r, r)
+        if fuse_dots:
+            rz_new, rr_new = dots2(r, z, r)
+        else:
+            rz_new, rr_new = dots(r, z), dots(r, r)
         rr_new = jnp.where(jnp.isfinite(rr_new), rr_new, f32(2.0) * div2bb)
         rr_new = jnp.where(ok > 0, rr_new, f32(2.0) * div2bb)
         beta = active * jnp.where(rz != 0,
@@ -552,6 +572,7 @@ def cg_2l_prepared(
     strides: tuple[int, int] | None = None,
     xfer_bf16: bool = False,
     blocked_io: bool = False,
+    fuse_dots: bool = False,
 ):
     """Run the kernel against prepared operands.  ``b`` ``(B, nr, nc)`` and
     ``rtol2`` ``(B,)`` must be in the SAME sample order as the prepared
@@ -598,6 +619,7 @@ def cg_2l_prepared(
                 deg=deg, lmin=float(lmin), lmax=float(lmax), dc=dc,
                 clmin=float(clmin), clmax=float(clmax),
                 xfer_bf16=xfer_bf16, Wcp=Wcp, Wf=Wf,
+                fuse_dots=fuse_dots,
             ),
             grid=(BP // BS,),
             in_specs=[fspec] * 6 + [cspec] * 9 + [it_spec]

@@ -193,6 +193,36 @@ def test_packed_fine_matches_stacked_layout():
     assert np.all(np.abs(outs[True][1] - outs[False][1]) <= 3 * 4)
 
 
+def test_fused_dots_matches_split():
+    """Fusing the rz/rr segment reductions into one stacked matmul
+    (``fuse_dots``, measured perf-neutral so default OFF — see
+    docs/ROADMAP.md) computes the same contractions — the same
+    nonzero terms per output — but a (2, L) matmul may accumulate the f32
+    contraction in a different SIMD order than two (1, L) ones, so the CG
+    trajectory agrees to roundoff, not bitwise: both variants must deliver
+    the residual gate and the same solution to solver precision."""
+    space = FemSpace((2, 2), 10)
+    a = np.array(
+        [[[INFINIT_A, 1.0], [1.0, INFINIT_A]], [[1e6, 1.0], [1.0, 1.0]]]
+    )
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (2,) + space.grid_shape
+    )
+    for packed in (False, True):
+        outs = {}
+        for fuse in (True, False):
+            x, info = solvers.solve_pcg_mixed(
+                w, rhs, tol=1e-10, inner="pallas_2l",
+                inner_opts=(("packed_fine", packed), ("fuse_dots", fuse)),
+            )
+            assert float(info.relative_residual.max()) < 1e-9
+            outs[fuse] = (np.asarray(x), np.asarray(info.iterations))
+        np.testing.assert_allclose(outs[True][0], outs[False][0],
+                                   rtol=1e-8, atol=1e-12)
+        assert np.all(np.abs(outs[True][1] - outs[False][1]) <= 3 * 4)
+
+
 def test_packed_fine_non_square_and_layout_roundtrip():
     """Non-square geometry through the packed-fine path + exact pack/unpack
     round-trips at awkward shapes (guard-lane pitch, lane-multiple nc)."""
