@@ -53,6 +53,48 @@ def test_persistence_roundtrip(tmp_path):
     np.testing.assert_array_equal(store2["meta"]["errors"]["1"]["fm"], [0.5])
 
 
+def test_stage2_measurement_stream_pinned(tmp_path, monkeypatch):
+    """Stage-2 measurement points must CONTINUE the numpy stream seeded
+    (and partially consumed by the grid subsample) inside
+    ``contrast_grid`` — reference parity (HighContrast.py:155 draws from
+    the ambient stream).  Any host-side RNG call inserted between the
+    grid build and the measurement draw would silently shift every
+    experiment's sensors; this pins the exact stream."""
+    real_uniform = np.random.uniform
+    drawn = []
+
+    def record(*args, **kwargs):
+        out = real_uniform(*args, **kwargs)
+        size = kwargs.get("size", args[-1] if args else None)
+        if size == (13, 2) and not drawn:
+            drawn.append(np.array(out))
+        return out
+
+    monkeypatch.setattr(np.random, "uniform", record)
+    experiment(
+        name="rngpin",
+        reduced_basis_builders=[RandomBuilder()],
+        mesh_discretization_per_dim=4,
+        diff_coef_refinement=4,
+        vn_max_dim=2,
+        num_measurements=13,
+        blocks_geometry=(2, 2),
+        high_contrast_blocks=[[(0, 0)]],
+        max_num_samples_offline=20,
+        seed=42,
+        verbose=False,
+        results_dir=tmp_path,
+    )
+    monkeypatch.undo()
+    assert len(drawn) == 1
+    # replay the stream exactly: the grid build reseeds + consumes its
+    # subsample choice(), then stage 2 draws the measurement points
+    contrast_grid(num_groups=1, diff_coef_refinement=4,
+                  max_num_samples_offline=20, seed=42)
+    expected = np.random.uniform(size=(13, 2))
+    np.testing.assert_array_equal(drawn[0], expected)
+
+
 def test_experiment_end_to_end(tmp_path):
     builders = [RandomBuilder(), GreedyBuilder(GREEDY_FOR_GALERKIN)]
     res = experiment(
