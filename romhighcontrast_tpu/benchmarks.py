@@ -144,10 +144,11 @@ def bench_online(n_basis=15, n_samples=1000, reps=30):
 
 
 def bench_cluster(n_samples=256, reps=3):
-    """Interior-cluster (deflated) path: diagonal stiff blocks that never
-    touch the Dirichlet boundary.  Accuracy class is eps*kappa ~ 1e-3 on
-    TPU (emulated f64; documented floor), so the gate here is only that the
-    solver reports finite residuals."""
+    """Interior-cluster path: diagonal stiff blocks that never touch the
+    Dirichlet boundary.  Since round 4 the cluster bucket routes to the
+    host real-f64 sparse LU (ops/host_lu.py) — the reference's own accuracy
+    class — so the gate asserts the eps64*kappa class bound (max < 5e-3 on
+    the contrast-1e10 corner samples, median < 1e-9), not mere finiteness."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -155,6 +156,7 @@ def bench_cluster(n_samples=256, reps=3):
         contrast_grid, get_full_a,
     )
     from romhighcontrast_tpu.models.fem import FemSpace
+    from romhighcontrast_tpu.ops import stencil as st
 
     space = FemSpace((4, 4), 20)
     hc = [[(1, 1)], [(2, 2)]]
@@ -165,8 +167,16 @@ def bench_cluster(n_samples=256, reps=3):
         return space.solve(a, tol=1e-10, method="pallas")
 
     sols = rep()
-    r = np.asarray(space.h10_norm(sols))
-    assert np.all(np.isfinite(r)), "cluster path returned non-finite"
+    w = space.weights(a)
+    r = space.load[None, :] - st.apply_operator_flat(w, sols,
+                                                     space.grid_shape)
+    rel = np.asarray(jnp.linalg.norm(r, axis=-1)
+                     / jnp.linalg.norm(space.load))
+    assert np.all(np.isfinite(rel)), "cluster path returned non-finite"
+    assert rel.max() < 5e-3, (
+        f"cluster path above the eps64*kappa class bound: {rel.max():.2e}")
+    assert np.median(rel) < 1e-9, (
+        f"cluster path median residual too high: {np.median(rel):.2e}")
     _timed_burst(rep, reps)
     dt = _timed_burst(rep, reps)
     sps = len(a) / dt

@@ -68,16 +68,24 @@ def galerkin(a, B_total, A_preassembled, method="lsq", ridge_alpha=1e-15):
     ``(K^T K + alpha I) c = K^T b``, solved by Cholesky (the normal-
     equations Gram is SPD for any K).
     """
+    import jax.lax as lax
+
     from romhighcontrast_tpu.ops.solvers import solve_cholesky
 
+    # HIGHEST precision throughout: the TPU default matmul pass is bf16 and
+    # this path both expands the affine family and squares the condition
+    # number (normal equations) — value-preserving contractions are required
+    # for backend-independent results (CPU f32/f64 matmuls are always exact).
+    hi = lax.Precision.HIGHEST
     A = jnp.asarray(A_preassembled)
     if A.ndim == 4:
         A = A.reshape((-1,) + A.shape[-2:])
-    K = jnp.einsum("q,qij->ij", jnp.asarray(a).reshape(-1), A)
+    K = jnp.einsum("q,qij->ij", jnp.asarray(a).reshape(-1), A, precision=hi)
     b = jnp.asarray(B_total)
     if method.lower() == "ridge":
-        G = K.T @ K + ridge_alpha * jnp.eye(K.shape[0], dtype=K.dtype)
-        return np.asarray(solve_cholesky(G[None], K.T @ b)[0])
+        G = jnp.matmul(K.T, K, precision=hi)
+        G = G + ridge_alpha * jnp.eye(K.shape[0], dtype=K.dtype)
+        return np.asarray(solve_cholesky(G[None], jnp.matmul(K.T, b, precision=hi))[0])
     return np.asarray(solve_cholesky(K[None], b)[0])
 
 

@@ -51,6 +51,59 @@ class RBErrorDataType(NamedTuple):
     errors: object
 
 
+from functools import partial as _partial
+
+from jax import lax as _lax
+
+from romhighcontrast_tpu.models.fem import (
+    _forward_reduced_padded,
+    _project_padded,
+)
+
+
+@_partial(jax.jit, static_argnames=("grid_shape",))
+def _rel_h10_errors(w1, fm, pj, se, sols, h1, grid_shape):
+    """Three relative-H10 error curves in one program, one readback."""
+    def h10(u):
+        return jnp.sqrt(jnp.maximum(
+            jnp.sum(u * st.apply_operator_flat(w1, u, grid_shape), -1), 0.0))
+
+    return jnp.stack(
+        [h10(fm - sols) / h1, h10(pj - sols) / h1, h10(se - sols) / h1]
+    )
+
+
+@_partial(jax.jit, static_argnames=("grid_shape",))
+def _stats_all_n(wq, w1, load, a_flat, V_pads, B_pads, masks, cTs, sols, h1,
+                 grid_shape):
+    """The full per-builder stats family in ONE device program.
+
+    Scans the padded-n axis: per step one reduced-Galerkin forward solve
+    (orthonormalized padded basis), one H10 projection, the state-estimation
+    lift ``c^T B`` (RAW basis — the lstsq ran against it), and the three
+    relative-H10 error rows.  Only the ``(Nn, 3, k)`` error array leaves the
+    device — the per-n solution fields (~50 MB each at the paper config)
+    never materialize beyond one scan step.
+    """
+    def h10(u):
+        return jnp.sqrt(jnp.maximum(
+            jnp.sum(u * st.apply_operator_flat(w1, u, grid_shape), -1), 0.0))
+
+    def step(carry, inp):
+        V_pad, B_pad, mask, cT = inp
+        fm = _forward_reduced_padded(wq, V_pad, load, a_flat, mask,
+                                     grid_shape)
+        pj = _project_padded(w1, V_pad, sols, mask, grid_shape)
+        se = cT @ B_pad
+        errs = jnp.stack(
+            [h10(fm - sols) / h1, h10(pj - sols) / h1, h10(se - sols) / h1]
+        )
+        return carry, errs
+
+    _, errs = _lax.scan(step, 0, (V_pads, B_pads, masks, cTs))
+    return errs
+
+
 def default_builders():
     """The paper's four builders (reference: HighContrast.py:37-42)."""
     return [
@@ -206,30 +259,18 @@ def experiment(
             )
 
     # ---------------- stage 4: errors & timings ---------------- #
-    # Shape discipline: every n from 1..vn_max_dim reuses ONE compiled
-    # program per problem type — the basis is zero-padded to vn_max_dim with
-    # an active-row mask (forward_reduced_padded / project_padded).  The
-    # per-n small algebra (lstsq, estimators, sorted QR) runs on host numpy:
-    # it is microscopic, and per-shape device compiles would dominate the
-    # stage (remote TPU compiles are ~30s each).
+    # Shape discipline: the basis is zero-padded to vn_max_dim with an
+    # active-row mask, so every n reuses ONE compiled program.  Since round
+    # 4 the whole per-builder (n, problem-type) error family is ONE scanned
+    # device program with ONE readback (`_stats_all_n`): the round-2/3 loop
+    # paid ~4 synced device calls per (n, builder) cell (~80 cells, each a
+    # ~25 ms tunnel round-trip plus dispatch latency) — the dominant study
+    # wall-clock after the snapshot stage.  The per-n small algebra (lstsq,
+    # estimators, sorted QR) stays on host numpy: it is microscopic, and
+    # per-shape device compiles would dominate (remote compiles ~30s each).
     a_dev = jnp.asarray(a)
     a_np = np.asarray(a)
 
-    # one fused program for the three H10 error curves of an (n, builder)
-    # cell: eagerly dispatched norm chains cost milliseconds per op on the
-    # remote backend, and this loop runs vn_max_dim * n_builders times
-    from functools import partial as _partial
-
-    @_partial(jax.jit, static_argnames=("grid_shape",))
-    def _rel_h10_errors(w1, fm, pj, se, sols, h1, grid_shape):
-        def h10(u):
-            return jnp.sqrt(jnp.maximum(
-                jnp.sum(u * st.apply_operator_flat(w1, u, grid_shape), -1),
-                0.0))
-        # one stacked output -> ONE device->host conversion per cell
-        return jnp.stack(
-            [h10(fm - sols) / h1, h10(pj - sols) / h1, h10(se - sols) / h1]
-        )
     padded_ok = hasattr(space, "forward_reduced_padded")
     basis_eval = {
         key: np.asarray(
@@ -242,78 +283,98 @@ def experiment(
     basis_np = {key: np.asarray(bases[key].basis) for key in bases}
     basis_a_np = {key: np.asarray(bases[key].a) for key in bases}
     meas_np = np.asarray(measurements)
+    n_stats = min(vn_max_dim, vn_max_dim2do_stats)
 
-    for n in range(1, vn_max_dim + 1):
-        for key, full_rb in bases.items():
-            entry = store[key]
-            errors = entry.setdefault("errors", {})
-            times = entry.setdefault("times", {})
-            nkey = str(n)
-            if n > vn_max_dim2do_stats or (not recalculate and nkey in errors):
-                continue
-            if verbose:
-                print(f"dim(Vn)={n} [{key}]")
-            rb = full_rb[:n]
+    for key, full_rb in bases.items():
+        entry = store[key]
+        errors = entry.setdefault("errors", {})
+        times = entry.setdefault("times", {})
+        todo = [n for n in range(1, n_stats + 1)
+                if recalculate or str(n) not in errors]
+        if not todo:
+            continue
+        if verbose:
+            print(f"stats [{key}]: dims {todo[0]}..{todo[-1]} (batched)")
+
+        # host per-n algebra: lstsq coefficients (raw basis), estimator
+        # parameters, contrast-sorted QR (reference: ReducedBasis.py:94-98)
+        D = vn_max_dim
+        dim = basis_np[key].shape[1]
+        Nn = len(todo)
+        V_pads = np.zeros((Nn, D, dim))
+        B_pads = np.zeros((Nn, D, dim))     # raw basis for the se lift
+        masks = np.zeros((Nn, D))
+        cTs = np.zeros((Nn, meas_np.shape[0], D))
+        inv_params_all, lin_params_all = [], []
+        t_host0 = time.time()
+        for j, n in enumerate(todo):
             rb_basis_np = basis_np[key][:n]
             rb_a_np = basis_a_np[key][:n]
-
-            # state estimation: host lstsq on the tiny (m, n) system, then
-            # the (k, n) @ (n, dim) coefficient lift on DEVICE — on this
-            # single-core host the lift alone costs seconds per cell
-            t0 = time.time()
             Phi = basis_eval[key][:n]  # (n, m)
             c = np.linalg.lstsq(Phi.T, meas_np.T, rcond=None)[0]  # (n, k)
-            se_sol = jnp.asarray(c.T) @ jnp.asarray(rb.basis)
-            # checksum, not block_until_ready: the axon tunnel's block has
-            # been observed to return early (CLAUDE.md timing note)
-            float(jnp.sum(se_sol))
-            se_t = time.time() - t0
-            t0 = time.time()
-            inv_params = 1.0 / np.einsum("bi,b...->i...", c, 1.0 / rb_a_np)
-            inv_t = time.time() - t0
-            t0 = time.time()
-            lin_params = np.einsum("bi,b...->i...", c, rb_a_np)
-            lin_t = time.time() - t0
-
-            # contrast-sorted orthonormalisation on host (reference:
-            # ReducedBasis.py:94-98), then fixed-shape padded device solves
+            cTs[j, :, :n] = c.T
+            B_pads[j, :n] = rb_basis_np
+            inv_params_all.append(
+                1.0 / np.einsum("bi,b...->i...", c, 1.0 / rb_a_np))
+            lin_params_all.append(np.einsum("bi,b...->i...", c, rb_a_np))
             hc = np.max(rb_a_np, axis=(-2, -1))
             order = np.argsort(1.0 / hc)
             q, _ = np.linalg.qr(rb_basis_np[order].T)
-            V = q.T  # (n, dim) orthonormal
-            if padded_ok:
-                V_pad = np.zeros((vn_max_dim, V.shape[1]))
-                V_pad[:n] = V
-                mask = np.zeros(vn_max_dim)
-                mask[:n] = 1.0
-                fm_t, fm_sol = _timed(
-                    space.forward_reduced_padded, a_dev, V_pad, mask
-                )
-                pj_t, pj_sol = _timed(space.project_padded, solutions, V_pad, mask)
-            else:
-                fm_t, fm_sol = _timed(space.forward_reduced, a_dev, V)
-                pj_t, pj_sol = _timed(space.project, solutions, V)
+            V_pads[j, :n] = q.T
+            masks[j, :n] = 1.0
+        t_host = time.time() - t_host0
 
-            errs3 = np.asarray(_rel_h10_errors(
-                space._ones_weights, fm_sol, pj_sol, se_sol,
+        t0 = time.time()
+        if padded_ok:
+            errs_all = np.asarray(_stats_all_n(
+                space._eye_weights, space._ones_weights, space.load,
+                a_dev.reshape(a_dev.shape[0], -1),
+                jnp.asarray(V_pads), jnp.asarray(B_pads),
+                jnp.asarray(masks), jnp.asarray(cTs),
                 jnp.asarray(solutions), jnp.asarray(h1norms),
                 space.grid_shape,
-            ))
-            errors[nkey] = TypeOfProblems(
-                forward_modeling=errs3[0],
-                projection=errs3[1],
-                state_estimation=errs3[2],
-                parameter_estimation_inverse=np.abs(1 - inv_params / a_np),
-                parameter_estimation_linear=np.abs(1 - lin_params / a_np),
+            ))  # (Nn, 3, k) — the asarray readback forces execution
+        else:
+            # spaces without the padded variants (e.g. polynomial): per-n
+            # calls, errors through the same fused error program
+            errs_rows = []
+            for j, n in enumerate(todo):
+                fm = space.forward_reduced(a_dev, jnp.asarray(B_pads[j, :n]))
+                pj = space.project(solutions, jnp.asarray(B_pads[j, :n]))
+                se = jnp.asarray(cTs[j, :, :n]) @ jnp.asarray(B_pads[j, :n])
+                errs_rows.append(np.asarray(_rel_h10_errors(
+                    space._ones_weights, fm, pj, se,
+                    jnp.asarray(solutions), jnp.asarray(h1norms),
+                    space.grid_shape)))
+            errs_all = np.stack(errs_rows)
+        t_dev = time.time() - t0
+
+        # one batched device pass covers all Nn dims and all three solve-
+        # type problems: apportion wall-clock evenly (the reference's per-
+        # cell times measured exactly this work, serialized); estimator
+        # times are the host einsums above.
+        t_cell = t_dev / (3 * Nn)
+        t_host_cell = t_host / max(Nn, 1)
+        for j, n in enumerate(todo):
+            errors[str(n)] = TypeOfProblems(
+                forward_modeling=errs_all[j, 0],
+                projection=errs_all[j, 1],
+                state_estimation=errs_all[j, 2],
+                parameter_estimation_inverse=np.abs(
+                    1 - inv_params_all[j] / a_np),
+                parameter_estimation_linear=np.abs(
+                    1 - lin_params_all[j] / a_np),
             )._asdict()
-            times[nkey] = TypeOfProblems(
-                forward_modeling=fm_t,
-                projection=pj_t,
-                state_estimation=se_t,
-                parameter_estimation_inverse=inv_t,
-                parameter_estimation_linear=lin_t,
+            times[str(n)] = TypeOfProblems(
+                forward_modeling=t_cell,
+                projection=t_cell,
+                state_estimation=t_cell + t_host_cell,
+                parameter_estimation_inverse=0.0,
+                parameter_estimation_linear=0.0,
             )._asdict()
-            store.save(wait=False)
+        entry["stats_batched"] = True
+        entry["time2stats_batched"] = t_dev
+        store.save(wait=False)
 
     store.finalize()  # all checkpoints durable before returning
     return ExperimentResult(

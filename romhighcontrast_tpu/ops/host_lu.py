@@ -1,0 +1,93 @@
+"""Host real-float64 sparse-LU fallback for interior stiff-cluster samples.
+
+TPU f64 is emulated (effective eps ~1e-14), and the interior-cluster
+near-null modes (lambda ~ 1/contrast, kappa ~ 1e12 at contrast 1e10) push
+every device-side iterative variant to a ~1e-2 TRUE-residual floor that
+lives in the PCG recurrence itself — measured round 4 (2026-08-18, 64
+samples, mesh 20): indicator-deflated 6.0e-2 max, harmonic-extension-
+enriched deflation 4.8e-2 max, both refine to ~1.2e-2 and oscillate
+(enrichment of the coarse space does NOT move the floor — do-not-retry).
+Host scipy ``splu`` on the same samples: **9.8e-4 max / 3.5e-13 median**
+at ~37 solves/s — the same accuracy class as the reference's own
+``spsolve`` path (/root/reference/src/lib/SolutionsManagers.py:31), because
+it IS the same algorithm on real-f64 hardware.
+
+The cluster bucket of a study batch is small (the contrast grid is uniform
+in 1/a, so only the ~corner set exceeds the 1e5 stiff threshold — measured
+~33 of 256), so routing it here costs ~1 s per batch while the device fast
+path handles everyone else; ``FemSpace._solve_split`` overlaps the two
+(device dispatch is asynchronous).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def stencil_weights_np(a: np.ndarray, N: int):
+    """float64 numpy twin of ops.stencil.stencil_weights (host-side).
+
+    a: (b, nrb, ncb) block coefficients.  Returns (wE, wW, wS, wN, diag)
+    with shape (b, nr, nc) on the interior vertex grid.
+    """
+    a = np.asarray(a, np.float64)
+    acell = np.repeat(np.repeat(a, N, axis=-2), N, axis=-1)
+    aSE = acell[..., 1:, 1:]
+    aNE = acell[..., :-1, 1:]
+    aSW = acell[..., 1:, :-1]
+    aNW = acell[..., :-1, :-1]
+    wE = (aSE + aNE) * 0.5
+    wW = (aSW + aNW) * 0.5
+    wS = (aSE + aSW) * 0.5
+    wN = (aNE + aNW) * 0.5
+    return wE, wW, wS, wN, wE + wW + wS + wN
+
+
+def assemble_csr(wE, wW, wS, wN, diag):
+    """CSR stiffness matrix from one sample's stencil planes (nr, nc)."""
+    import scipy.sparse as sp
+
+    nr, nc = diag.shape
+    n = nr * nc
+    main = diag.reshape(-1)
+    # east coupling: (i, j) -> (i, j+1); the j = nc-1 column has no east
+    # interior neighbor (Dirichlet), so zero that band entry
+    e = wE.copy()
+    e[:, -1] = 0.0
+    w_ = wW.copy()
+    w_[:, 0] = 0.0
+    s_ = wS.copy()
+    s_[-1, :] = 0.0
+    n_ = wN.copy()
+    n_[0, :] = 0.0
+    K = sp.diags(
+        [main, -e.reshape(-1)[:-1], -w_.reshape(-1)[1:],
+         -s_.reshape(-1)[:-nc], -n_.reshape(-1)[nc:]],
+        [0, 1, -1, nc, -nc], shape=(n, n), format="csr",
+    )
+    return K
+
+
+def solve_lu_batch(a: np.ndarray, N: int, rhs: np.ndarray):
+    """Real-f64 sparse-LU solve per sample (host, single core).
+
+    a: (b, nrb, ncb); rhs: (dim,) shared or (b, dim) per-sample.
+    Returns (x (b, dim), rel_residual (b,)).
+    """
+    import scipy.sparse.linalg as spla
+
+    wE, wW, wS, wN, dg = stencil_weights_np(a, N)
+    b_count = a.shape[0]
+    rhs = np.asarray(rhs, np.float64)
+    shared = rhs.ndim == 1
+    dim = rhs.shape[-1]
+    x = np.empty((b_count, dim))
+    res = np.empty(b_count)
+    for i in range(b_count):
+        K = assemble_csr(wE[i], wW[i], wS[i], wN[i], dg[i]).tocsc()
+        bi = rhs if shared else rhs[i]
+        xi = spla.splu(K).solve(bi)
+        x[i] = xi
+        nb = np.linalg.norm(bi)
+        res[i] = np.linalg.norm(bi - K @ xi) / (nb if nb > 0 else 1.0)
+    return x, res

@@ -49,7 +49,7 @@ def _neighbor(x, axis, shift):
     return pltpu.roll(x, shift=jnp.int32(shift), axis=axis)
 
 
-def _cg_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, x_ref,
+def _cg_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, x_ref, it_ref,
                *, tol2: float, maxiter: int, stag_window: int = 1_000_000):
     f32 = jnp.float32
     wE = wE_ref[0]
@@ -100,8 +100,12 @@ def _cg_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, x_ref,
 
     x0 = jnp.zeros_like(b)
     state = (x0, b, b, bb, jnp.int32(0), bb, jnp.int32(0))
-    x = jax.lax.while_loop(cond, body, state)[0]
-    x_ref[0] = x
+    out = jax.lax.while_loop(cond, body, state)
+    x_ref[0] = out[0]
+    # per-sample iteration count, broadcast over the (H, W) plane (a 2D f32
+    # write is the Mosaic-friendly way to get a scalar out; hosts read
+    # element [0, 0])
+    it_ref[0] = jnp.full(out[0].shape, out[4].astype(jnp.float32))
 
 
 def _round_up(x, m):
@@ -119,7 +123,8 @@ def cg_symmetrized_pallas(
 ):
     """Solve the symmetrized system for a batch ``(B, nr, nc)`` (f32).
 
-    Returns ``x`` of shape ``(B, nr, nc)``.
+    Returns ``(x, iterations)``: ``x`` of shape ``(B, nr, nc)`` and the real
+    per-sample CG iteration counts ``(B,)`` i32 (1 matvec each).
     """
     B, nr, nc = b.shape
     H = _round_up(nr, 8)
@@ -145,13 +150,14 @@ def cg_symmetrized_pallas(
     # become i64/f64); the kernel is all-f32, so trace it in an x64-disabled
     # scope — measured necessary on TPU v5e with jax 0.9
     with jax.enable_x64(False):
-        out_x = pl.pallas_call(
+        out_x, out_it = pl.pallas_call(
             functools.partial(_cg_kernel, tol2=tol * tol, maxiter=maxiter,
                               stag_window=stag_window),
             grid=(B,),
             in_specs=[spec] * 5,
-            out_specs=spec,
-            out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+            out_specs=(spec, spec),
+            out_shape=(jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+                       jax.ShapeDtypeStruct((B, H, W), jnp.float32)),
             interpret=interpret,
         )(wE, wW_, wS, wN, bp)
-    return out_x[:, :nr, :nc]
+    return out_x[:, :nr, :nc], out_it[:, 0, 0].astype(jnp.int32)

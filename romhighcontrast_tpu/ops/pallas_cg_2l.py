@@ -294,12 +294,15 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
         # all samples at once, and the lane restriction one block-diagonal
         # (Lf, Lc) matmul (hc.T per sample at offsets (s*Wf, s*Wcp)).
         def precond(r):
+            # xfer_bf16 is honored here too (Rrow_x/RrowT_x): measured
+            # exactly neutral, kept for semantic consistency with the
+            # stacked branches.
             t = dh * r                                        # (H, Lf)
-            c1 = jnp.dot(Rrow, t, preferred_element_type=f32)  # (Hc, Lf)
+            c1 = jnp.dot(Rrow_x, t, preferred_element_type=f32)  # (Hc, Lf)
             c = sg * jnp.dot(c1, Ccol, preferred_element_type=f32)
             y = sg * coarse_cheb(c)                           # (Hc, Lc)
             u = jnp.dot(y, CcolT, preferred_element_type=f32)  # (Hc, Lf)
-            zc = dh * jnp.dot(RrowT, u, preferred_element_type=f32)
+            zc = dh * jnp.dot(RrowT_x, u, preferred_element_type=f32)
             return fine_cheb(r) + zc
     elif Wcp:
         # LANE-PACKED coarse stage: all BS samples share one (Hcp, L) array

@@ -55,61 +55,60 @@ def _dd_round_kernel(wEh_ref, wEl_ref, wWh_ref, wWl_ref, wSh_ref, wSl_ref,
                      Wf: int = 0):
     # NOTE: barriers are globally off by default (dd.with_barriers) — and
     # Mosaic could not lower them anyway
-    if True:
-        f32 = jnp.float32
-        wE = (wEh_ref[0], wEl_ref[0])
-        wW = (wWh_ref[0], wWl_ref[0])
-        wS = (wSh_ref[0], wSl_ref[0])
-        wN = (wNh_ref[0], wNl_ref[0])
-        bth, btl = bth_ref[0], btl_ref[0]
-        diag = diag_ref[0]
-        xh, xl = xh_ref[0], xl_ref[0]
-        d = d_ref[0]
-        tol2bb = tol2bb_ref[0]  # (BS, 1) absolute squared threshold
-        rows = wE[0].shape[0]  # BS * H
+    f32 = jnp.float32
+    wE = (wEh_ref[0], wEl_ref[0])
+    wW = (wWh_ref[0], wWl_ref[0])
+    wS = (wSh_ref[0], wSl_ref[0])
+    wN = (wNh_ref[0], wNl_ref[0])
+    bth, btl = bth_ref[0], btl_ref[0]
+    diag = diag_ref[0]
+    xh, xl = xh_ref[0], xl_ref[0]
+    d = d_ref[0]
+    tol2bb = tol2bb_ref[0]  # (BS, 1) absolute squared threshold
+    rows = wE[0].shape[0]  # BS * H
 
-        # inner-kernel divergence leaks NaN/inf through d for frozen
-        # samples; a zero correction keeps the carried state intact
-        d = jnp.where(jnp.isfinite(d), d, f32(0.0))
+    # inner-kernel divergence leaks NaN/inf through d for frozen
+    # samples; a zero correction keeps the carried state intact
+    d = jnp.where(jnp.isfinite(d), d, f32(0.0))
 
-        # x <- x + d, exactly (two-sum accumulate)
-        xh, xl = dd.dd_add_f32(xh, xl, d)
+    # x <- x + d, exactly (two-sum accumulate)
+    xh, xl = dd.dd_add_f32(xh, xl, d)
 
-        # r = (bt - x) + sum_dir w (x) x_nbr  (unit diagonal: the x term
-        # is exact; each neighbor product is a Dekker two-product)
-        ah, al = dd.dd_sub(bth, btl, xh, xl)
-        for (wh, wl), axis, shift in ((wE, 1, -1), (wW, 1, 1),
-                                      (wS, 0, -1), (wN, 0, 1)):
-            nh = _neighbor(xh, axis, shift)
-            nl = _neighbor(xl, axis, shift)
-            ph, pe = dd.dd_mul(wh, wl, nh, nl)
-            ah, al = dd.dd_add(ah, al, ph, pe)
+    # r = (bt - x) + sum_dir w (x) x_nbr  (unit diagonal: the x term
+    # is exact; each neighbor product is a Dekker two-product)
+    ah, al = dd.dd_sub(bth, btl, xh, xl)
+    for (wh, wl), axis, shift in ((wE, 1, -1), (wW, 1, 1),
+                                  (wS, 0, -1), (wN, 0, 1)):
+        nh = _neighbor(xh, axis, shift)
+        nl = _neighbor(xl, axis, shift)
+        ph, pe = dd.dd_mul(wh, wl, nh, nl)
+        ah, al = dd.dd_add(ah, al, ph, pe)
 
-        # original-space norm: ||r||^2 = sum(D * rt^2) per sample (segment
-        # reduction, same layouts as the CG kernels: lane-selection matmul
-        # for the packed-fine layout, sublane-selection for the stacked one)
-        if Wf:
-            lanes = wE[0].shape[1]
-            lid = jax.lax.broadcasted_iota(jnp.int32, (lanes, BS), 0) // Wf
-            kid = jax.lax.broadcasted_iota(jnp.int32, (lanes, BS), 1)
-            Ssel = (lid == kid).astype(f32)  # (Lf, BS)
-            part = jnp.sum(diag * ah * ah, axis=0, keepdims=True)
-            rr = jnp.dot(part, Ssel, preferred_element_type=f32)  # (1, BS)
-            active = (rr > tol2bb).astype(f32)
-            rt_out[0] = jnp.dot(active, Ssel.T,
-                                preferred_element_type=f32) * ah
-        else:
-            sid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 1) // H
-            kid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 0)
-            S = (sid == kid).astype(f32)
-            part = jnp.dot(S, diag * ah * ah, preferred_element_type=f32)
-            rr = jnp.sum(part, axis=1, keepdims=True)
+    # original-space norm: ||r||^2 = sum(D * rt^2) per sample (segment
+    # reduction, same layouts as the CG kernels: lane-selection matmul
+    # for the packed-fine layout, sublane-selection for the stacked one)
+    if Wf:
+        lanes = wE[0].shape[1]
+        lid = jax.lax.broadcasted_iota(jnp.int32, (lanes, BS), 0) // Wf
+        kid = jax.lax.broadcasted_iota(jnp.int32, (lanes, BS), 1)
+        Ssel = (lid == kid).astype(f32)  # (Lf, BS)
+        part = jnp.sum(diag * ah * ah, axis=0, keepdims=True)
+        rr = jnp.dot(part, Ssel, preferred_element_type=f32)  # (1, BS)
+        active = (rr > tol2bb).astype(f32)
+        rt_out[0] = jnp.dot(active, Ssel.T,
+                            preferred_element_type=f32) * ah
+    else:
+        sid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 1) // H
+        kid = jax.lax.broadcasted_iota(jnp.int32, (BS, rows), 0)
+        S = (sid == kid).astype(f32)
+        part = jnp.dot(S, diag * ah * ah, preferred_element_type=f32)
+        rr = jnp.sum(part, axis=1, keepdims=True)
 
-            active = (rr > tol2bb).astype(f32)
-            rt_out[0] = jnp.dot(S.T, active, preferred_element_type=f32) * ah
-        xh_out[0] = xh
-        xl_out[0] = xl
-        rr_out[0] = rr
+        active = (rr > tol2bb).astype(f32)
+        rt_out[0] = jnp.dot(S.T, active, preferred_element_type=f32) * ah
+    xh_out[0] = xh
+    xl_out[0] = xl
+    rr_out[0] = rr
 
 
 def _dd_build_kernel(chih_ref, chil_ref, bh_ref, bl_ref,
@@ -125,9 +124,11 @@ def _dd_build_kernel(chih_ref, chil_ref, bh_ref, bl_ref,
     measured a WASH against the XLA pipeline (interleaved A/B 2026-08-18:
     4.3 ms kernel-only vs 4.3-4.9 ms XLA): the ~600 f32 EFT ops/element
     make the build VPU-COMPUTE-bound, not HBM-bound.  The piecewise
-    class-grid build (ops/piecewise.py, the default) removes the compute
-    instead; this kernel remains the ``build="kernel"`` option and the
-    bit-exactness oracle for it.
+    class-grid build (ops/piecewise.py) removes the compute instead but
+    measured ~6% slower end-to-end (its HIGHEST-precision expansion matmuls
+    cost more than the EFT compute they save) — ``build="kernel"`` (this
+    kernel) is the DEFAULT (solvers.py); piecewise is the A/B alternative,
+    with this kernel as its bit-exactness oracle.
 
     Boundary semantics are carried by five static 0/1 masks (shared across
     blocks) instead of the XLA build's zero-fill shifts: the circular rolls'

@@ -171,8 +171,9 @@ def _build_dd_small(a: jnp.ndarray, N: int, nr: int, nc: int
     )
 
 
-@lru_cache(maxsize=None)
-def _expansion_mats(nr: int, nc: int, N: int, dims: tuple):
+@lru_cache(maxsize=64)
+def _expansion_mats(nr: int, nc: int, N: int, BS: int, H: int, W: int,
+                    Wf: int):
     """One-hot expansion operands for the packed-fine layout: ``Er (H,
     Cr)`` (rows) and ``Ec (Cc, Wf)`` (lanes), per-sample — the blocked
     interleave is a pure layout op (fine_from_samples).  The matmuls MUST
@@ -185,8 +186,6 @@ def _expansion_mats(nr: int, nc: int, N: int, dims: tuple):
     Returns NUMPY arrays: callers convert per call site.  Caching device
     arrays here leaked tracers across jit traces (jnp.asarray inside a
     trace can yield a DynamicJaxprTracer, and lru_cache pinned it)."""
-    B, _, _, BS, H, W = dims[:6]
-    Wf = dims[10]
     _, cls_r, _, _ = vertex_classes(nr, N)
     _, cls_c, _, _ = vertex_classes(nc, N)
     Cr, Cc = int(cls_r.max()) + 1, int(cls_c.max()) + 1
@@ -228,7 +227,10 @@ def expand_packed_operands(small: SmallOperands, b3: jnp.ndarray,
     BP = dims[8]
     f32 = jnp.float32
     hp = jax.lax.Precision.HIGHEST
-    Er_n, Ec_n, pad1_n = _expansion_mats(nr, nc, N, tuple(dims))
+    # Cache key is the layout-relevant subset only — B/BP vary with batch
+    # size and would grow the host-side cache without bound (advisor r3).
+    BS, H, W, Wf = dims[3], dims[4], dims[5], dims[10]
+    Er_n, Ec_n, pad1_n = _expansion_mats(nr, nc, N, BS, H, W, Wf)
     Er, Ec, pad1 = jnp.asarray(Er_n), jnp.asarray(Ec_n), jnp.asarray(pad1_n)
 
     def expand(x):

@@ -36,22 +36,25 @@ from romhighcontrast_tpu.ops import stencil as st
 class PCGInfo(NamedTuple):
     """Solver diagnostics.
 
-    iterations: solve work counts.
+    iterations: per-sample ``(batch...,)`` **int32 fine matvec-equivalents**
+      — ONE format on every path (unified round 4; the scalar-total and
+      ``-1``-sentinel variants are gone):
 
-      * ``pallas_v2`` / ``pallas_2l`` paths: per-sample ``(batch,)`` i32 in
-        **fine matvec-equivalents** — kernel iteration counts scaled by the
-        matvecs each costs (``deg + 1``: 13 for the deg-12 single-level
-        kernel, 4 for the default deg-3 two-level kernel), so counts are
-        comparable across kernels and across the phased driver's mixed
-        phases.  Coarse-sweep work (6 sweeps/outer on the two-level path, at
-        ~27 ns vs ~49 ns per fine matvec) is *not* included.
-      * XLA paths: a scalar total of while-loop iterations (1 matvec each).
-      * legacy single-sample pallas path: the scalar sentinel ``-1`` (its
-        per-sample counts stay in-kernel).
+      * kernel paths (``pallas_v2`` / ``pallas_2l`` / legacy ``pallas``):
+        real per-sample kernel iteration counts scaled by the fine matvecs
+        each iteration costs (13 for the deg-12 single-level kernel,
+        ``deg + 1`` for the two-level kernel, 1 for the legacy plain-CG
+        kernel).  Coarse-sweep work (6 sweeps/outer on the two-level path,
+        at ~27 ns vs ~49 ns per fine matvec) is *not* included.
+      * XLA while-loop paths (``solve_pcg``, the xla mixed inner): active
+        iterations counted per sample (1 matvec each; ``solve_pcg_deflated``
+        counts 3 per iteration — the balancing preconditioner applies the
+        operator twice more).
+      * direct paths (Cholesky): zeros.
     relative_residual: (batch,) final ``||b - K x|| / ||b||``.
     """
 
-    iterations: jnp.ndarray
+    iterations: jnp.ndarray  # (batch...,) int32 matvec-equivalents
     relative_residual: jnp.ndarray  # (batch,) final ||b - K x|| / ||b||
 
 
@@ -157,6 +160,7 @@ def solve_pcg_deflated(
     tol: float = 1e-11,
     maxiter: int = 10_000,
     geo_coarse: bool = False,
+    deflation_basis: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, PCGInfo]:
     """float64 Balancing-preconditioned (BNN) Jacobi-PCG for batches with
     interior stiff clusters.
@@ -187,13 +191,38 @@ def solve_pcg_deflated(
 
     diag = w.diag
     b = jnp.broadcast_to(rhs, diag.shape)
-    Gchol = cl.cluster_gram_chol(w, cluster_labels, n_clusters)
     use_geo = geo_coarse and min(diag.shape[-2:]) >= 5
     if use_geo:
         ghr, ghc, gsg, ggi = _geo_coarse_setup(w, cluster_labels)
 
-    def Q(y):
-        return cl.coarse_correct(w, cluster_labels, Gchol, y)
+    if deflation_basis is not None:
+        # Dense enriched coarse space X (b, k, nr, nc) — e.g. the harmonic
+        # extensions from clusters.harmonic_deflation_basis.  Zero columns
+        # (empty label bins) get identity Gram rows; their corrections are
+        # forced to zero by the zero X^T r entries.
+        X = deflation_basis
+        KX = st.apply_operator(
+            st.StencilCoefficients(*(p[..., None, :, :] for p in w)), X
+        )
+        G = jnp.einsum("...kij,...lij->...kl", X, KX)
+        G = 0.5 * (G + jnp.swapaxes(G, -1, -2))
+        has = (jnp.sum(X * X, axis=(-2, -1)) > 0).astype(G.dtype)  # (b, k)
+        act = has[..., :, None] * has[..., None, :]
+        k = X.shape[-3]
+        eye = jnp.eye(k, dtype=G.dtype)
+        gdiag = jnp.where(has > 0, jnp.diagonal(G, axis1=-2, axis2=-1), 1.0)
+        G = G * act * (1.0 - eye) + gdiag[..., :, None] * eye
+        Gchol = jnp.linalg.cholesky(G)
+
+        def Q(y):
+            cr = jnp.einsum("...kij,...ij->...k", X, y)
+            yk = jax.scipy.linalg.cho_solve((Gchol, True), cr[..., None])[..., 0]
+            return jnp.einsum("...k,...kij->...ij", yk, X)
+    else:
+        Gchol = cl.cluster_gram_chol(w, cluster_labels, n_clusters)
+
+        def Q(y):
+            return cl.coarse_correct(w, cluster_labels, Gchol, y)
 
     def precond(r):
         Pr = r - st.apply_operator(w, Q(r))
@@ -213,12 +242,16 @@ def solve_pcg_deflated(
     rz = jnp.sum(r * z, axis=(-2, -1))
     rr = jnp.sum(r * r, axis=(-2, -1))
 
+    # per-sample matvec-equivalents: 3 operator applications per active
+    # iteration (Kp + the balancing preconditioner's two applies)
+    its = jnp.zeros(rr.shape, jnp.int32)
+
     def cond(state):
         rr, it = state[4], state[5]
         return jnp.logical_and(jnp.any(rr > tol2), it < maxiter)
 
     def body(state):
-        x, r, p, rz, rr, it = state
+        x, r, p, rz, rr, it, its = state
         active = (rr > tol2)[..., None, None]
         Kp = st.apply_operator(w, p)
         pKp = jnp.sum(p * Kp, axis=(-2, -1))
@@ -230,15 +263,16 @@ def solve_pcg_deflated(
         rz_new = jnp.sum(r * z, axis=(-2, -1))
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = jnp.where(active, z + beta[..., None, None] * p, p)
+        its = its + 3 * (rr > tol2).astype(jnp.int32)
         rr = jnp.sum(r * r, axis=(-2, -1))
         rr = jnp.where(jnp.isfinite(rr), rr, 0.0)
-        return x, r, p, rz_new, rr, it + 1
+        return x, r, p, rz_new, rr, it + 1, its
 
-    state = (x, r, p, rz, rr, jnp.int32(0))
-    x, r, p, rz, rr, it = lax.while_loop(cond, body, state)
+    state = (x, r, p, rz, rr, jnp.int32(0), its)
+    x, r, p, rz, rr, it, its = lax.while_loop(cond, body, state)
     r_true = b - st.apply_operator(w, x)
     rr = jnp.sum(r_true * r_true, axis=(-2, -1))
-    return x, PCGInfo(iterations=it, relative_residual=jnp.sqrt(rr / safe_b))
+    return x, PCGInfo(iterations=its, relative_residual=jnp.sqrt(rr / safe_b))
 
 
 @partial(jax.jit, static_argnames=("tol", "maxiter", "use_coarse"))
@@ -288,12 +322,14 @@ def solve_pcg(
     rz = jnp.sum(r * z, axis=(-2, -1))
     rr = jnp.sum(r * r, axis=(-2, -1))
 
+    its = jnp.zeros(rr.shape, jnp.int32)  # per-sample matvec-equivalents
+
     def cond(state):
-        _, r, _, _, rr, it = state[0], state[1], state[2], state[3], state[4], state[5]
+        rr, it = state[4], state[5]
         return jnp.logical_and(jnp.any(rr > tol2), it < maxiter)
 
     def body(state):
-        x, r, p, rz, rr, it = state
+        x, r, p, rz, rr, it, its = state
         active = (rr > tol2)[..., None, None]
         Kp = st.apply_operator(w, p)
         pKp = jnp.sum(p * Kp, axis=(-2, -1))
@@ -307,12 +343,14 @@ def solve_pcg(
         rz_new = jnp.sum(r * z, axis=(-2, -1))
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = jnp.where(active, z + beta[..., None, None] * p, p)
+        its = its + (rr > tol2).astype(jnp.int32)
         rr = jnp.sum(r * r, axis=(-2, -1))
         rr = jnp.where(jnp.isfinite(rr), rr, 0.0)  # freeze diverged-by-roundoff
-        return x, r, p, rz_new, rr, it + 1
+        return x, r, p, rz_new, rr, it + 1, its
 
-    x, r, p, rz, rr, it = lax.while_loop(cond, body, (x, r, p, rz, rr, jnp.int32(0)))
-    info = PCGInfo(iterations=it, relative_residual=jnp.sqrt(rr / bnorm2))
+    x, r, p, rz, rr, it, its = lax.while_loop(
+        cond, body, (x, r, p, rz, rr, jnp.int32(0), its))
+    info = PCGInfo(iterations=its, relative_residual=jnp.sqrt(rr / bnorm2))
     return x, info
 
 
@@ -340,6 +378,7 @@ def _cg_unit_diag(wt, b, tol, maxiter, stag_window=1_000_000):
     rr = bnorm2
     best = bnorm2
     since = jnp.zeros(bnorm2.shape, jnp.int32)
+    its = jnp.zeros(bnorm2.shape, jnp.int32)  # per-sample matvec-equivalents
 
     def active_mask(rr, since):
         return jnp.logical_and(rr > tol2, since < stag_window)
@@ -349,8 +388,9 @@ def _cg_unit_diag(wt, b, tol, maxiter, stag_window=1_000_000):
         return jnp.logical_and(jnp.any(active_mask(rr, since)), it < maxiter)
 
     def body(state):
-        x, r, p, rz, rr, it, best, since = state
-        active = active_mask(rr, since)[..., None, None]
+        x, r, p, rz, rr, it, best, since, its = state
+        amask = active_mask(rr, since)
+        active = amask[..., None, None]
         Kp = st.apply_operator(wt, p)
         pKp = jnp.sum(p * Kp, axis=(-2, -1))
         alpha = jnp.where(pKp > 0, rz / jnp.where(pKp > 0, pKp, 1.0), 0.0)
@@ -364,11 +404,12 @@ def _cg_unit_diag(wt, b, tol, maxiter, stag_window=1_000_000):
         improved = rr < 0.99 * best
         best = jnp.minimum(best, rr)
         since = jnp.where(improved, 0, since + 1)
-        return x, r, p, rz_new, rr, it + 1, best, since
+        its = its + amask.astype(jnp.int32)
+        return x, r, p, rz_new, rr, it + 1, best, since, its
 
-    state = (x, r, p, rz, rr, jnp.int32(0), best, since)
+    state = (x, r, p, rz, rr, jnp.int32(0), best, since, its)
     out = lax.while_loop(cond, body, state)
-    return out[0], out[5]
+    return out[0], out[8]
 
 
 def _round_rtol2(rounds, tol2, rr, inner_tol, dtype):
@@ -976,12 +1017,11 @@ def solve_pcg_mixed(
                 *(v.reshape((-1,) + grid_shape) for v in wt32)
             )
             rt3 = rt.reshape((-1,) + grid_shape)
-            x3 = cg_symmetrized_pallas(
+            x3, its = cg_symmetrized_pallas(
                 wt3, rt3, tol=inner_tol, maxiter=maxiter_inner,
                 interpret=interpret, stag_window=stag_window,
             )
-            # per-sample iteration counts stay on-chip in this kernel
-            return x3.reshape(batch + grid_shape), None
+            return x3.reshape(batch + grid_shape), its.reshape(batch)
 
     else:
 
@@ -1031,8 +1071,9 @@ def solve_pcg_mixed(
             # real counts from this round are the best difficulty predictor
             # for the next round's block packing
             sort_key = it.astype(jnp.float32).reshape(-1)
-        elif it is not None:
-            iters = iters + it
+        else:
+            # xla / legacy pallas inners: per-sample counts, 1 matvec each
+            iters = iters + it.astype(jnp.int32)
         return x, r, rounds + 1, iters, sort_key, prev_rr
 
     if x0 is None:
@@ -1043,17 +1084,13 @@ def solve_pcg_mixed(
         # ROM to accelerate the FOM"): rounds start from its residual
         x = jnp.broadcast_to(jnp.asarray(x0, b.dtype), b.shape)
         r = true_resid(x)
+    iters0 = jnp.zeros(batch, jnp.int32)
     if inner in ("pallas_v2", "pallas_2l"):
-        iters0 = jnp.zeros(batch, jnp.int32)
         # round-one difficulty proxy: iteration counts anti-correlate with
         # the mean log diagonal (measured corr -0.7 on the bench grid)
         key0 = (-jnp.mean(jnp.log(diag), axis=(-2, -1))
                 .reshape(-1).astype(jnp.float32))
-    elif inner == "pallas":
-        iters0 = jnp.int32(-1)  # sentinel: counts stay in-kernel
-        key0 = jnp.float32(0)
     else:
-        iters0 = jnp.int32(0)
         key0 = jnp.float32(0)
     prev_rr0 = jnp.full(batch, jnp.inf, b.dtype)
     x, r, rounds, iters, _, _ = lax.while_loop(

@@ -202,3 +202,26 @@ def test_visualize_all_combined_dashboard_runs():
     )
     # 2 estimators x 2 samplers x vn_range (1..3) = 8 estimator calls
     assert len(calls) == 8
+
+
+def test_energy_tracker_measures_host_utilization():
+    """Round-4 tracker: host CPU seconds and /proc utilization are MEASURED
+    (RAPL used when present); the report labels modeled components."""
+    import time as _time
+
+    from romhighcontrast_tpu.utils.energy import EnergyTracker
+
+    t = EnergyTracker(num_devices=1)
+    with t:
+        # burn CPU so utilization/cpu_seconds are nonzero
+        x = 0
+        t0 = _time.time()
+        while _time.time() - t0 < 0.2:
+            x += 1
+    assert t.cpu_seconds > 0.05
+    assert 0.0 <= t.host_utilization <= 1.0
+    rep = t.report()
+    assert "host" in rep and "kWh" in rep
+    # on hosts without RAPL the label must say so
+    if not t.host_measured:
+        assert "RAPL unavailable" in rep

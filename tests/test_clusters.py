@@ -124,3 +124,85 @@ def test_experiment_driver_with_interior_groups(tmp_path):
     errs = res.store["Greedy galerkin"]["errors"]
     for n in ("1", "2", "3"):
         assert np.all(np.isfinite(errs[n]["forward_modeling"]))
+
+
+def test_host_lu_matches_oracle():
+    """ops.host_lu assembles the exact reference operator (scipy oracle
+    parity to ~4e-16) and real-f64 LU residuals sit at the f64 floor for
+    boundary-safe samples."""
+    from romhighcontrast_tpu.ops import host_lu
+
+    oracle = FemOracle((3, 3), 7)
+    rng = np.random.default_rng(0)
+    a = np.exp(rng.uniform(0, np.log(INFINIT_A), (2, 3, 3)))
+    wE, wW, wS, wN, dg = host_lu.stencil_weights_np(a, 7)
+    for i in range(2):
+        K1 = host_lu.assemble_csr(wE[i], wW[i], wS[i], wN[i], dg[i])
+        K2 = oracle.stiffness(a[i])
+        assert abs(K1 - K2).max() <= 1e-14 * abs(K2).max()
+    x, res = host_lu.solve_lu_batch(a, 7, oracle.load())
+    assert res.max() < 1e-10
+
+
+def test_host_lu_cluster_route_accuracy():
+    """cluster_method='host' routes interior-cluster samples to real-f64
+    LU: the clean samples keep fast-path accuracy and the cluster sample
+    lands in the LU (eps64*kappa) class."""
+    from romhighcontrast_tpu.ops import stencil as st
+
+    space = FemSpace((3, 3), 7)
+    a = np.ones((3, 3, 3))
+    a[0, 1, 1] = INFINIT_A          # interior cluster
+    a[1, 1, 1] = 1e3                # moderate: fast path
+    sols = space.solve(jnp.asarray(a), tol=1e-11, method="mixed",
+                       cluster_method="host")
+    w = space.weights(jnp.asarray(a))
+    r = space.load[None, :] - st.apply_operator_flat(w, sols,
+                                                     space.grid_shape)
+    rel = np.asarray(jnp.linalg.norm(r, axis=-1)
+                     / jnp.linalg.norm(space.load))
+    assert rel[0] < 5e-3            # eps64 * kappa class (LU itself ~1e-4)
+    assert np.all(rel[1:] < 1e-9)
+
+
+def test_harmonic_deflation_basis_properties():
+    """The harmonic-extension deflation vectors: 1 on their own cluster,
+    0 on other clusters, K-harmonic outside (residual of the exterior
+    problem ~0), and they improve (or match) the indicator's accuracy.
+
+    NOTE (round-4 TPU measurement, do-not-retry): on TPU the enrichment
+    does NOT move the emulated-f64 floor (4.8e-2 vs 6.0e-2 one-shot max,
+    both refine to ~1.2e-2) — the floor is the recurrence, not the coarse
+    space; the production fix is the host-LU route.  The basis remains a
+    tested API for real-f64 backends."""
+    from romhighcontrast_tpu.ops import solvers
+    from romhighcontrast_tpu.ops import stencil as st
+
+    space = FemSpace((3, 3), 8)
+    a = np.ones((2, 3, 3))
+    a[0, 1, 1] = INFINIT_A
+    a[1, 1, 1] = INFINIT_A
+    a[1, 1, 2] = INFINIT_A          # touches boundary col -> dropped
+    aj = jnp.asarray(a)
+    w = space.weights(aj)
+    lab_np, kmax = cl.cluster_labels_host(a, space.N)
+    labels = jnp.asarray(lab_np)
+    X = cl.harmonic_deflation_basis(w, labels, kmax)
+    assert X.shape == (2, kmax) + space.grid_shape
+    Xn = np.asarray(X)
+    # 1 on own cluster vertices
+    m0 = lab_np[0] == 1
+    np.testing.assert_allclose(Xn[0, 0][m0], 1.0, atol=1e-10)
+    # harmonic outside: K X restricted to free vertices ~ 0
+    KX = np.asarray(st.apply_operator(w, X))
+    free = lab_np[0] == 0
+    assert np.abs(KX[0, 0][free]).max() < 1e-6 * np.abs(KX[0, 0]).max()
+    # solves with the enriched basis converge to the deflated class
+    rhs = jnp.broadcast_to(space.load.reshape(space.grid_shape),
+                           (2,) + space.grid_shape)
+    x, info = solvers.solve_pcg_deflated(w, rhs, labels, kmax, tol=1e-11,
+                                         deflation_basis=X)
+    r = rhs - st.apply_operator(w, x)
+    rel = np.asarray(jnp.linalg.norm(r.reshape(2, -1), axis=-1)
+                     / jnp.linalg.norm(rhs.reshape(2, -1), axis=-1))
+    assert rel[0] < 1e-3 and rel[1] < 1e-8

@@ -95,8 +95,8 @@ def test_pallas_interpret_matches_xla(inner, problem):
 
 def test_iteration_counts_are_honest(problem):
     """The fused v2 kernel must report real per-sample iteration counts;
-    the legacy single-sample kernel reports the -1 sentinel (its counts
-    stay in-kernel)."""
+    since round 4 the legacy single-sample kernel also reports real
+    per-sample counts (the -1 sentinel is gone)."""
     space, a, refs = problem
     w = space.weights(a)
     rhs = jnp.broadcast_to(
@@ -113,7 +113,9 @@ def test_iteration_counts_are_honest(problem):
     # the easy sample (a == 1) must need fewer iterations than the stiff ones
     assert its[2] <= its.max()
     _, info1 = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="pallas")
-    assert int(info1.iterations) == -1
+    its1 = np.asarray(info1.iterations)
+    assert its1.shape == (len(a),) and its1.dtype == np.int32
+    assert (its1 > 0).all()
 
 
 def test_stall_exit_stops_floored_refinement():
@@ -300,3 +302,41 @@ def test_solve_small_spd_mixed_matches_f64():
     rm = np.linalg.norm(np.asarray(rhs - jnp.einsum("bkl,bl->bk", K, xm)), axis=-1)
     bn = np.linalg.norm(np.asarray(rhs), axis=-1)
     assert np.all(rm / bn < np.maximum(10 * r64 / bn, 1e-11)), (rm / bn, r64 / bn)
+
+
+@pytest.mark.parametrize("method", ["pcg", "mixed", "pallas", "pallas_v2",
+                                    "pallas_v1", "cholesky"])
+def test_iterations_contract_unified(method):
+    """PCGInfo.iterations is ONE format on every path (round-4 contract):
+    per-sample (batch,) int32 matvec-equivalents, non-negative (direct
+    paths report zeros; no scalar totals, no -1 sentinels)."""
+    space = FemSpace((2, 2), 8)
+    a = np.ones((3, 2, 2))
+    a[0, 0, 0] = INFINIT_A
+    a[1, 1, 1] = 1e4
+    _, info = space.solve(jnp.asarray(a), tol=1e-10, method=method,
+                          return_info=True)
+    it = np.asarray(info.iterations)
+    assert it.shape == (3,), (method, it.shape)
+    assert it.dtype == np.int32, (method, it.dtype)
+    assert np.all(it >= 0), (method, it)
+    if method not in ("cholesky",):
+        # iterative paths must report real work for the stiff sample
+        assert int(it.max()) > 0, (method, it)
+    assert info.relative_residual.shape == (3,)
+
+
+def test_iterations_contract_cluster_split():
+    """The fast/cluster split keeps the unified per-sample contract (host
+    LU bucket reports 0 iterations — a direct solve)."""
+    space = FemSpace((3, 3), 7)
+    a = np.ones((4, 3, 3))
+    a[0, 1, 1] = INFINIT_A     # interior cluster -> host LU bucket
+    a[1, 0, 0] = INFINIT_A     # boundary-touching -> fast path
+    _, info = space.solve(jnp.asarray(a), tol=1e-10, method="mixed",
+                          return_info=True, cluster_method="host")
+    it = np.asarray(info.iterations)
+    assert it.shape == (4,) and it.dtype == np.int32
+    assert it[0] == 0            # direct host LU
+    assert np.all(it[1:] > 0)    # iterative fast path
+    assert np.all(np.asarray(info.relative_residual)[1:] < 1e-9)
