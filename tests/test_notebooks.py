@@ -45,8 +45,9 @@ def test_notebooks_ship_with_outputs():
         )
         n_code = sum(1 for c in nb["cells"] if c["cell_type"] == "code")
         assert n_code > 0
-        # many cells are assignment-only (no repr/figure); a third
-        # with stored outputs distinguishes executed from stripped
-        assert n_out >= n_code // 3, (
+        # many cells are assignment-only (no repr/figure); a two-thirds
+        # majority with stored outputs matches the reference's fully
+        # rendered tutorial artifact (round-4 bar, raised from n//3)
+        assert n_out >= (2 * n_code) // 3, (
             f"{path.name}: only {n_out}/{n_code} code cells have outputs"
         )
