@@ -148,7 +148,14 @@ def bench_cluster(n_samples=256, reps=3):
     Dirichlet boundary.  Since round 4 the cluster bucket routes to the
     host real-f64 sparse LU (ops/host_lu.py) — the reference's own accuracy
     class — so the gate asserts the eps64*kappa class bound (max < 5e-3 on
-    the contrast-1e10 corner samples, median < 1e-9), not mere finiteness."""
+    the contrast-1e10 corner samples, median < 1e-9), not mere finiteness.
+
+    The gate reads the solver's reported per-sample residuals: for the host
+    bucket those are evaluated on HOST in real f64.  Re-evaluating on the
+    TPU is NOT equivalent — emulated-f64 residual EVALUATION itself floors
+    at ~1e-2 relative at kappa ~1e12 (measured 2026-08-19: the same
+    solution vector scores 7.9e-4 on host vs 1.33e-2 on device), so a
+    device-side gate would measure evaluation noise, not solution quality."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -156,7 +163,6 @@ def bench_cluster(n_samples=256, reps=3):
         contrast_grid, get_full_a,
     )
     from romhighcontrast_tpu.models.fem import FemSpace
-    from romhighcontrast_tpu.ops import stencil as st
 
     space = FemSpace((4, 4), 20)
     hc = [[(1, 1)], [(2, 2)]]
@@ -166,12 +172,8 @@ def bench_cluster(n_samples=256, reps=3):
     def rep():
         return space.solve(a, tol=1e-10, method="pallas")
 
-    sols = rep()
-    w = space.weights(a)
-    r = space.load[None, :] - st.apply_operator_flat(w, sols,
-                                                     space.grid_shape)
-    rel = np.asarray(jnp.linalg.norm(r, axis=-1)
-                     / jnp.linalg.norm(space.load))
+    _, info = space.solve(a, tol=1e-10, method="pallas", return_info=True)
+    rel = np.asarray(info.relative_residual)
     assert np.all(np.isfinite(rel)), "cluster path returned non-finite"
     assert rel.max() < 5e-3, (
         f"cluster path above the eps64*kappa class bound: {rel.max():.2e}")
@@ -182,7 +184,8 @@ def bench_cluster(n_samples=256, reps=3):
     sps = len(a) / dt
     _emit("cluster_solves_per_sec", sps,
           f"solves/s @ dim={space.vspace_dim}, interior-diagonal stiff "
-          f"blocks (deflated path; eps*kappa accuracy class)",
+          f"blocks (host real-f64 LU bucket; eps64*kappa accuracy class, "
+          f"host-evaluated residuals)",
           sps / BASELINE_SOLVES_PER_SEC)
     return sps
 

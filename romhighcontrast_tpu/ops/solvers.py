@@ -475,9 +475,11 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     f32 = jnp.float32
     batch = b.shape[:-2]
     nr, nc = grid_shape
-    strides = (tl.coarse_stride(nr), tl.coarse_stride(nc))
     # prep-level knobs ride inner_opts but must not reach the kernel call
     _opts = dict(inner_opts)
+    _stride = _opts.pop("stride", None)
+    strides = ((_stride, _stride) if _stride
+               else (tl.coarse_stride(nr), tl.coarse_stride(nc)))
     packed_coarse = bool(_opts.pop("packed_coarse", True))
     # default ON (measured 2026-08-18, interleaved on-TPU A/B at the paper
     # config: 35,995 vs 27,925 solves/s — the stacked layout wastes ~1.6x

@@ -17,9 +17,13 @@ The online phase is precompute-once / serve-many:
   Cholesky solve, and (optionally) the lift ``c @ V`` and H10 error stats,
   with at most one readback.
 
-Measured (TPU v5e, paper config dim 6241, n = 15, batch 1000): ~0.9M
-coefficient solves/s, ~490k lifted solves/s — the ROM outruns the ~16k/s
-full-order fast path by ~30x, restoring the framework's premise.
+Suite-measured (TPU v5e, paper config dim 6241, n = 15, batch 1000;
+``python bench.py --suite`` 2026-08-19, docs/parity/bench_suite_r4.json):
+**313,712 coefficient solves/s, 126,403 lifted solves/s** — the ROM outruns
+the ~39k/s full-order fast path by ~3-8x.  These are the repo's only
+numbers for this path; earlier per-call micro-benchmarks (which skipped the
+per-batch host round-trip the suite includes) quoted 3-4x higher and are
+superseded.
 """
 
 from __future__ import annotations

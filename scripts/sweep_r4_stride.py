@@ -1,0 +1,89 @@
+"""Round-4 sweep: coarse-grid density at fine meshes.
+
+At mesh 64 the packed layout runs BS=1 (VMEM bind), so the coarse stage
+uses 17 of 128 lanes — a denser coarse grid is nearly lane-free there.
+Sweep stride/lmin at mesh 64/40, interleaved round-robin after a warm
+burst (tunnel drift discipline per CLAUDE.md).
+"""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def bench_cfg(space, a, opts, tol=1e-10, reps=2):
+    def rep():
+        return space.solve(a, method="pallas", tol=tol, inner_opts=opts)
+
+    t0 = time.time()
+    acc = [jnp.sum(rep()) for _ in range(reps)]
+    float(sum(acc))
+    return len(a) * reps / (time.time() - t0)
+
+
+def residual(space, a, opts, tol=1e-10):
+    from romhighcontrast_tpu.ops import stencil as st
+
+    sols = space.solve(a, method="pallas", tol=tol, inner_opts=opts)
+    w = space.weights(a)
+    r = space.load[None, :] - st.apply_operator_flat(w, sols, space.grid_shape)
+    return float(jnp.max(jnp.linalg.norm(r, axis=-1)
+                         / jnp.linalg.norm(space.load)))
+
+
+def sweep(mesh_n, n_samples, cfgs, passes=4):
+    from romhighcontrast_tpu.benchmarks import _paper_problem
+
+    space, a = _paper_problem(mesh_n, n_samples)
+    a = jnp.asarray(a)
+    log(f"mesh {mesh_n}: dim {space.vspace_dim}, {n_samples} samples")
+    # warm + residual gate for every config
+    ok = {}
+    for name, opts in cfgs.items():
+        try:
+            rel = residual(space, a, opts)
+            ok[name] = rel < 1e-9
+            log(f"  {name}: residual {rel:.2e} {'OK' if ok[name] else 'FAIL'}")
+        except Exception as e:
+            ok[name] = False
+            log(f"  {name}: EXC {type(e).__name__}: {str(e)[:200]}")
+    results = {name: [] for name in cfgs}
+    for p in range(passes):
+        for name, opts in cfgs.items():
+            if not ok[name]:
+                continue
+            results[name].append(bench_cfg(space, a, opts))
+        log(f"  pass {p}: " + ", ".join(
+            f"{n}={results[n][-1]:.0f}/s" for n in results if results[n]))
+    for name in results:
+        if results[name]:
+            med = float(np.median(results[name]))
+            log(f"  RESULT mesh{mesh_n} {name}: median {med:.0f} solves/s "
+                f"({results[name]})")
+    return results
+
+
+def main():
+    log("devices:", jax.devices())
+    # mesh 64: default (stride 16, lmin auto 0.116) vs denser coarse
+    sweep(64, 512, {
+        "default": (),
+        "s8": (("stride", 8),),
+        "s8_lmin116": (("stride", 8), ("lmin", 0.116)),
+        "s16_lmin029": (("lmin", 0.029),),
+    }, passes=4)
+    # mesh 40: default stride 10 vs 5 (both divide the 40-cell block)
+    sweep(40, 1000, {
+        "default": (),
+        "s5": (("stride", 5),),
+        "s5_lmin": (("stride", 5), ("lmin", 0.116)),
+    }, passes=4)
+
+
+if __name__ == "__main__":
+    main()
