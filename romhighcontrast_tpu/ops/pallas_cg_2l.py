@@ -169,10 +169,11 @@ def _transfer_mats(hr, hc, BS, H, W, Hc, Wc):
 def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
                    cnn_ref, cn0_ref, cnp_ref, c0n_ref, c0p_ref, cpn_ref,
                    cp0_ref, cpp_ref, rtol2_ref, Rrow_ref, RrowT_ref, Ccol_ref,
-                   CcolT_ref, x_ref, it_ref, *, maxiter: int, BS: int,
+                   CcolT_ref, *rest, maxiter: int, BS: int,
                    H: int, deg: int, lmin: float, lmax: float, dc: int,
                    clmin: float, clmax: float, xfer_bf16: bool = False,
-                   Wcp: int = 0, Wf: int = 0, fuse_dots: bool = False):
+                   Wcp: int = 0, Wf: int = 0, fuse_dots: bool = False,
+                   dc2: int = 0, cl2min: float = 0.12, cl2max: float = 2.05):
     f32 = jnp.float32
     wE, wW, wS, wN = wE_ref[0], wW_ref[0], wS_ref[0], wN_ref[0]
     b = b_ref[0]
@@ -184,6 +185,23 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
           (1, 0): cp0_ref[0], (1, 1): cpp_ref[0]}
     Rrow, RrowT, Ccol, CcolT = (Rrow_ref[...], RrowT_ref[...], Ccol_ref[...],
                                 CcolT_ref[...])
+    if dc2:
+        # THIRD LEVEL (packed-fine layout only): 13 extra operand refs —
+        # sg2, 8 level-2 bands, and the coarse->coarse2 transfers
+        (sg2_ref, c2nn, c2n0, c2np, c20n, c20p, c2pn, c2p0, c2pp,
+         Rrow2_ref, Rrow2T_ref, Ccol2_ref, Ccol2T_ref) = rest[:13]
+        rest = rest[13:]
+        sg2 = sg2_ref[0]
+        cb2 = {(-1, -1): c2nn[0], (-1, 0): c2n0[0], (-1, 1): c2np[0],
+               (0, -1): c20n[0], (0, 1): c20p[0], (1, -1): c2pn[0],
+               (1, 0): c2p0[0], (1, 1): c2pp[0]}
+        Rrow2, Rrow2T, Ccol2, Ccol2T = (
+            Rrow2_ref[...], Rrow2T_ref[...], Ccol2_ref[...], Ccol2T_ref[...])
+        # sg is zero on padded/guard coarse entries; its safe reciprocal
+        # confines the level-2 lift to live nodes (W2 = Sg^{-1} P2 Sg2)
+        sg_inv = jnp.where(sg > 0, f32(1.0) / jnp.where(sg > 0, sg, f32(1.0)),
+                           f32(0.0))
+    x_ref, it_ref = rest
 
     def matvec(u):
         return (
@@ -241,18 +259,23 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
         def to_rows(c):
             return jnp.dot(S.T, c, preferred_element_type=f32)
 
-    def cmatvec(y):
+    def make_cmatvec(bands):
         # normalized coarse 9-point stencil; unit diagonal by construction,
         # signed off-diagonal bands (no negation here)
-        out = y
-        for (dp, dq), wgt in cb.items():
-            t = y
-            if dp:
-                t = _neighbor(t, 0, -dp)
-            if dq:
-                t = _neighbor(t, 1, -dq)
-            out = out + wgt * t
-        return out
+        def cmatvec(y):
+            out = y
+            for (dp, dq), wgt in bands.items():
+                t = y
+                if dp:
+                    t = _neighbor(t, 0, -dp)
+                if dq:
+                    t = _neighbor(t, 1, -dq)
+                out = out + wgt * t
+            return out
+
+        return cmatvec
+
+    cmatvec = make_cmatvec(cb)
 
     def make_cheb(apply_op, deg_, lo, hi):
         theta = f32((hi + lo) / 2.0)
@@ -276,6 +299,25 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
 
     fine_cheb = make_cheb(matvec, deg, lmin, lmax)
     coarse_cheb = make_cheb(cmatvec, dc, clmin, clmax)
+    if dc2:
+        coarse2_cheb = make_cheb(make_cmatvec(cb2), dc2, cl2min, cl2max)
+
+        def coarse_solve(craw):
+            # additive two-level solve of Ghat y = sg*craw: Chebyshev on the
+            # level-1 window + the warped level-2 correction
+            #   W2 Sg2 q2(G2hat) Sg2 W2^T (sg*craw),  W2 = Sg^{-1} P2
+            # (the Sg^{-1} on the restriction side cancels the sg: the
+            # level-2 restriction reads the RAW, pre-normalization vector)
+            y = coarse_cheb(sg * craw)
+            t2 = jnp.dot(Rrow2, craw, preferred_element_type=f32)
+            c2 = sg2 * jnp.dot(t2, Ccol2, preferred_element_type=f32)
+            y2 = sg2 * coarse2_cheb(c2)
+            u2 = jnp.dot(y2, Ccol2T, preferred_element_type=f32)
+            return y + sg_inv * jnp.dot(Rrow2T, u2,
+                                        preferred_element_type=f32)
+    else:
+        def coarse_solve(craw):
+            return coarse_cheb(sg * craw)
 
     if xfer_bf16:
         # The block-diagonal row transfers are the kernel's largest matmuls
@@ -299,8 +341,8 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
             # stacked branches.
             t = dh * r                                        # (H, Lf)
             c1 = jnp.dot(Rrow_x, t, preferred_element_type=f32)  # (Hc, Lf)
-            c = sg * jnp.dot(c1, Ccol, preferred_element_type=f32)
-            y = sg * coarse_cheb(c)                           # (Hc, Lc)
+            craw = jnp.dot(c1, Ccol, preferred_element_type=f32)  # (Hc, Lc)
+            y = sg * coarse_solve(craw)                       # (Hc, Lc)
             u = jnp.dot(y, CcolT, preferred_element_type=f32)  # (Hc, Lf)
             zc = dh * jnp.dot(RrowT_x, u, preferred_element_type=f32)
             return fine_cheb(r) + zc
@@ -412,7 +454,11 @@ class Prepared2L(NamedTuple):
     """Padded, blocked, sample-sorted kernel operands that are invariant
     across refinement rounds — built ONCE per solve.  Re-padding/gathering
     these 15 arrays per round measured ~7 ms/1000 samples, several times the
-    kernel's own iteration work."""
+    kernel's own iteration work.
+
+    The optional level-2 fields (``sg2``/``cbands2``/transfer quartet) carry
+    the THIRD-level operands (packed-fine layout only); ``None`` means
+    two-level."""
 
     wE: jnp.ndarray
     wW: jnp.ndarray
@@ -425,12 +471,20 @@ class Prepared2L(NamedTuple):
     RrowT: jnp.ndarray
     Ccol: jnp.ndarray
     CcolT: jnp.ndarray
+    sg2: jnp.ndarray | None = None
+    cbands2: tuple | None = None
+    Rrow2: jnp.ndarray | None = None
+    Rrow2T: jnp.ndarray | None = None
+    Ccol2: jnp.ndarray | None = None
+    Ccol2T: jnp.ndarray | None = None
 
 
 def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
                coarse: tl.CoarseOperator, strides: tuple[int, int],
                block_size: int | None = None, packed_coarse: bool = False,
-               packed_fine: bool = False):
+               packed_fine: bool = False,
+               coarse2: tl.CoarseOperator | None = None,
+               stride2: tuple[int, int] | None = None):
     """Pad/block the round-invariant operands.  Returns ``(prep, dims)``
     with ``dims = (B, nr, nc, BS, H, W, Hc, Wc, BP, Wcp, Wf)`` (python
     ints — pass them as static arguments to :func:`cg_2l_prepared`).
@@ -468,10 +522,19 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
         wS=wt.wS, wN=wt.wN, diag=wt.diag,
     )
     sg_p, cbands, xfer = coarse_prep(coarse, strides, dims)
+    l2 = {}
+    if coarse2 is not None and dims[10]:
+        # third level rides the packed-fine layout only; on a stacked
+        # fallback the level-2 operands are dropped (the caller strips the
+        # dc2 kernel knob when prep.sg2 is None)
+        sg2_p, cbands2, xfer2 = coarse2_prep(coarse2, stride2, m1r, m1c,
+                                             dims)
+        l2 = dict(sg2=sg2_p, cbands2=cbands2, Rrow2=xfer2[0],
+                  Rrow2T=xfer2[1], Ccol2=xfer2[2], Ccol2T=xfer2[3])
     prep = Prepared2L(
         wE=padf(wt.wE), wW=padf(wt.wW), wS=padf(wt.wS), wN=padf(wt.wN),
         dh=padf(dh), sg=sg_p, cbands=cbands,
-        Rrow=xfer[0], RrowT=xfer[1], Ccol=xfer[2], CcolT=xfer[3],
+        Rrow=xfer[0], RrowT=xfer[1], Ccol=xfer[2], CcolT=xfer[3], **l2,
     )
     return prep, dims
 
@@ -559,6 +622,49 @@ def coarse_prep(coarse: tl.CoarseOperator, strides: tuple[int, int],
     return padc(coarse.sg), cbands, xfer
 
 
+def coarse2_prep(coarse2: tl.CoarseOperator, stride2: tuple[int, int],
+                 m1r: int, m1c: int, dims: tuple):
+    """Pad/block the LEVEL-2 operands + the coarse->coarse2 transfer
+    matrices (packed-fine layout only).  ``coarse2`` comes from
+    ``tl.normalize_bands(tl.coarsen_bands(raw_level1_bands, *stride2))``
+    with ``stride2`` hats on the COARSE INDEX grid.  Returns
+    ``(sg2, cbands2, (Rrow2, Rrow2T, Ccol2, Ccol2T))``."""
+    B, nr, nc, BS, H, W, Hc, L, BP, Wcp = dims[:10]
+    Wf = dims[10] if len(dims) > 10 else 0
+    if not (Wf and Wcp):
+        raise ValueError("the third level requires the packed-fine layout")
+    m2r, m2c = coarse2.sg.shape[-2:]
+    Wcp2 = m2c + 1
+    Hc2 = _round_up(m2r + 1, 8)
+    Lc2 = _round_up(BS * Wcp2, 128)
+
+    def padc2(x):
+        x = jnp.pad(
+            x.astype(jnp.float32),
+            ((0, BP - B), (0, Hc2 - m2r), (0, Wcp2 - m2c)),
+        )
+        x = x.reshape(BP // BS, BS, Hc2, Wcp2).transpose(0, 2, 1, 3)
+        x = x.reshape(BP // BS, Hc2, BS * Wcp2)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, Lc2 - BS * Wcp2)))
+
+    cbands2 = tuple(
+        padc2(coarse2.bands[:, dp + 1, dq + 1])
+        for dp in (-1, 0, 1)
+        for dq in (-1, 0, 1)
+        if (dp, dq) != (0, 0)
+    )
+    hr2 = tl.hat_matrix(m1r, stride2[0])
+    hc2 = tl.hat_matrix(m1c, stride2[1])
+    Rrow2 = np.zeros((Hc2, Hc), np.float32)
+    Rrow2[:m2r, :m1r] = hr2
+    Ccol2 = np.zeros((L, Lc2), np.float32)
+    for s in range(BS):
+        Ccol2[s * Wcp : s * Wcp + m1c, s * Wcp2 : s * Wcp2 + m2c] = hc2.T
+    xfer2 = (jnp.asarray(Rrow2), jnp.asarray(Rrow2.T),
+             jnp.asarray(Ccol2), jnp.asarray(Ccol2.T))
+    return padc2(coarse2.sg), cbands2, xfer2
+
+
 def cg_2l_prepared(
     prep: Prepared2L,
     dims: tuple,
@@ -576,6 +682,9 @@ def cg_2l_prepared(
     xfer_bf16: bool = False,
     blocked_io: bool = False,
     fuse_dots: bool = False,
+    dc2: int = 0,
+    cl2min: float = 0.12,
+    cl2max: float = 2.05,
 ):
     """Run the kernel against prepared operands.  ``b`` ``(B, nr, nc)`` and
     ``rtol2`` ``(B,)`` must be in the SAME sample order as the prepared
@@ -614,6 +723,19 @@ def cg_2l_prepared(
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                             memory_space=pltpu.VMEM)
 
+    three_level = dc2 > 0 and prep.sg2 is not None
+    if dc2 > 0 and prep.sg2 is None:
+        raise ValueError("dc2 > 0 needs level-2 operands in the prep "
+                         "(prepare_2l(..., coarse2=..., stride2=...))")
+    extra_ops, extra_specs = (), []
+    if three_level:
+        cspec2 = pl.BlockSpec((1,) + prep.sg2.shape[1:],
+                              lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        extra_ops = ((prep.sg2,) + tuple(prep.cbands2)
+                     + (prep.Rrow2, prep.Rrow2T, prep.Ccol2, prep.Ccol2T))
+        extra_specs = [cspec2] * 9 + [smat(prep.Rrow2), smat(prep.Rrow2T),
+                                      smat(prep.Ccol2), smat(prep.Ccol2T)]
+
     # Mosaic cannot compile kernels traced in x64 mode; all-f32 kernel
     with jax.enable_x64(False):
         out, its = pl.pallas_call(
@@ -623,11 +745,13 @@ def cg_2l_prepared(
                 clmin=float(clmin), clmax=float(clmax),
                 xfer_bf16=xfer_bf16, Wcp=Wcp, Wf=Wf,
                 fuse_dots=fuse_dots,
+                dc2=(dc2 if three_level else 0),
+                cl2min=float(cl2min), cl2max=float(cl2max),
             ),
             grid=(BP // BS,),
             in_specs=[fspec] * 6 + [cspec] * 9 + [it_spec]
             + [smat(prep.Rrow), smat(prep.RrowT), smat(prep.Ccol),
-               smat(prep.CcolT)],
+               smat(prep.CcolT)] + extra_specs,
             out_specs=(fspec, it_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((BP // BS,) + fshape[1:], jnp.float32),
@@ -635,7 +759,8 @@ def cg_2l_prepared(
             ),
             interpret=interpret,
         )(prep.wE, prep.wW, prep.wS, prep.wN, bp, prep.dh, prep.sg,
-          *prep.cbands, rt2, prep.Rrow, prep.RrowT, prep.Ccol, prep.CcolT)
+          *prep.cbands, rt2, prep.Rrow, prep.RrowT, prep.Ccol, prep.CcolT,
+          *extra_ops)
     if blocked_io:
         return out, its.reshape(BP)[:B]
     return unpack_fine(out, dims), its.reshape(BP)[:B]
@@ -645,7 +770,8 @@ def cg_2l_prepared(
     jax.jit,
     static_argnames=("tol", "maxiter", "block_size", "interpret", "deg",
                      "lmin", "lmax", "dc", "clmin", "clmax", "strides",
-                     "packed_coarse", "packed_fine"),
+                     "packed_coarse", "packed_fine", "stride2", "dc2",
+                     "cl2min", "cl2max"),
 )
 def cg_symmetrized_pallas_2l(
     wt: st.StencilCoefficients,
@@ -666,6 +792,11 @@ def cg_symmetrized_pallas_2l(
     clmax: float = 2.05,
     packed_coarse: bool = True,
     packed_fine: bool = False,
+    coarse2: tl.CoarseOperator | None = None,
+    stride2: tuple[int, int] | None = None,
+    dc2: int = 0,
+    cl2min: float = 0.12,
+    cl2max: float = 2.05,
 ):
     """Two-level solve of the symmetrized system for a batch ``(B, nr, nc)``.
 
@@ -684,13 +815,18 @@ def cg_symmetrized_pallas_2l(
     outer costs ``deg`` fine matvecs + one coarse correction).
     """
     B = b.shape[0]
+    if coarse2 is not None and not packed_fine:
+        raise ValueError("the third level (coarse2) requires packed_fine")
     prep, dims = prepare_2l(wt, dh, coarse, strides, block_size,
                             packed_coarse=packed_coarse,
-                            packed_fine=packed_fine)
+                            packed_fine=packed_fine,
+                            coarse2=coarse2, stride2=stride2)
     if rtol2 is None:
         rtol2 = jnp.full((B,), tol * tol)
     return cg_2l_prepared(
         prep, dims, b, rtol2, maxiter=maxiter, interpret=interpret, deg=deg,
         lmin=lmin, lmax=lmax, dc=dc, clmin=clmin, clmax=clmax,
         strides=strides,
+        dc2=(dc2 if prep.sg2 is not None else 0), cl2min=cl2min,
+        cl2max=cl2max,
     )

@@ -480,6 +480,11 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     _stride = _opts.pop("stride", None)
     strides = ((_stride, _stride) if _stride
                else (tl.coarse_stride(nr), tl.coarse_stride(nc)))
+    # THIRD level (r4): hats of ``stride2`` on the COARSE INDEX grid.
+    # 0/None = two-level (the default); the dc2/cl2min/cl2max kernel knobs
+    # ride inner_opts straight into cg_2l_prepared.
+    _stride2 = _opts.pop("stride2", None)
+    stride2 = (_stride2, _stride2) if _stride2 else None
     packed_coarse = bool(_opts.pop("packed_coarse", True))
     # default ON (measured 2026-08-18, interleaved on-TPU A/B at the paper
     # config: 35,995 vs 27,925 solves/s — the stacked layout wastes ~1.6x
@@ -555,12 +560,23 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                                  interpret=interpret)
             w32f = st.stencil_weights(st.cell_grid(a3.astype(f32),
                                                    block_N))
-        coarse = tl.assemble_coarse(w32f, *strides)
+        raw1 = tl.assemble_coarse_raw(w32f, *strides)
+        coarse = tl.normalize_bands(raw1)
         sg_p, cbands, xfer = coarse_prep(coarse, strides, dims0)
+        l2 = {}
+        if stride2 is not None:
+            from romhighcontrast_tpu.ops.pallas_cg_2l import coarse2_prep
+
+            coarse2 = tl.normalize_bands(tl.coarsen_bands(raw1, *stride2))
+            m1r1, m1c1 = coarse.sg.shape[-2:]
+            sg2_p, cbands2, xfer2 = coarse2_prep(coarse2, stride2, m1r1,
+                                                 m1c1, dims0)
+            l2 = dict(sg2=sg2_p, cbands2=cbands2, Rrow2=xfer2[0],
+                      Rrow2T=xfer2[1], Ccol2=xfer2[2], Ccol2T=xfer2[3])
         prep2l0 = Prepared2L(
             wE=Kb.wEh, wW=Kb.wWh, wS=Kb.wSh, wN=Kb.wNh, dh=Kb.dh,
             sg=sg_p, cbands=cbands,
-            Rrow=xfer[0], RrowT=xfer[1], Ccol=xfer[2], CcolT=xfer[3],
+            Rrow=xfer[0], RrowT=xfer[1], Ccol=xfer[2], CcolT=xfer[3], **l2,
         )
         prepdd0 = PreparedDD(
             wEh=Kb.wEh, wEl=Kb.wEl, wWh=Kb.wWh, wWl=Kb.wWl,
@@ -582,10 +598,14 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
             # precision suffices (preconditioner-side only)
             w32 = st.StencilCoefficients(*(v.astype(f32) for v in w3))
         dh3 = jnp.sqrt(w32.diag)
-        coarse = tl.assemble_coarse(w32, *strides)
+        raw1 = tl.assemble_coarse_raw(w32, *strides)
+        coarse = tl.normalize_bands(raw1)
+        coarse2 = (tl.normalize_bands(tl.coarsen_bands(raw1, *stride2))
+                   if stride2 is not None else None)
         ops_s = ops
         wt_s = hi_weights(ops_s)
         prep2l0, dims0 = prepare_2l(wt_s, dh3, coarse, strides,
+                                    coarse2=coarse2, stride2=stride2,
                                     block_size=block_size,
                                     packed_coarse=packed_coarse,
                                     packed_fine=packed_fine)
@@ -604,6 +624,13 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
             # block fewer outers also shrink run-to-block-max sync waste
             deg = 4 if dims0[3] >= 2 else 3
         inner_opts = inner_opts + (("deg", deg),)
+    if prep2l0.sg2 is None:
+        # no level-2 operands prepared (stride2 unset, or the layout fell
+        # back to stacked): the kernel knobs must not ask for one
+        inner_opts = tuple((k, v) for k, v in inner_opts
+                           if k not in ("dc2", "cl2min", "cl2max"))
+    elif "dc2" not in dict(inner_opts):
+        inner_opts = inner_opts + (("dc2", 8),)
     mv2l = int(dict(inner_opts).get("deg", 3)) + 1
     t2s = tol2bb
 

@@ -110,10 +110,11 @@ def _pair_stack(h: np.ndarray, shift: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("stride_r", "stride_c"))
-def assemble_coarse(w: st.StencilCoefficients, stride_r: int, stride_c: int
-                    ) -> CoarseOperator:
-    """Assemble the normalized coarse operator for fine stencil weights ``w``
-    (the UNSCALED ``K``; shapes ``(..., nr, nc)``).
+def assemble_coarse_raw(w: st.StencilCoefficients, stride_r: int,
+                        stride_c: int) -> jnp.ndarray:
+    """UNNORMALIZED coarse Galerkin bands ``G = P^T K P`` for fine stencil
+    weights ``w`` (the UNSCALED ``K``; shapes ``(..., nr, nc)``); returns
+    ``(..., 3, 3, m1r, m1c)`` signed band values.
 
     ``G_(pq),(p'q') = sum_ij P_pq(i,j) (K P_p'q')(i,j)`` expands into five
     separable terms (diag + 4 neighbor shifts), each a small
@@ -146,9 +147,12 @@ def assemble_coarse(w: st.StencilCoefficients, stride_r: int, stride_c: int
     )
     # (..., 3*m1r, 3*m1c) -> (..., 3, m1r, 3, m1c) -> (..., 3, 3, m1r, m1c)
     batch = pairs.shape[:-2]
-    bands = jnp.moveaxis(
-        pairs.reshape(batch + (3, m1r, 3, m1c)), -2, -3
-    )
+    return jnp.moveaxis(pairs.reshape(batch + (3, m1r, 3, m1c)), -2, -3)
+
+
+def normalize_bands(bands: jnp.ndarray) -> CoarseOperator:
+    """Jacobi-normalize raw 9-point bands ``(..., 3, 3, m, m)`` into a
+    :class:`CoarseOperator` (unit diagonal, ``sg = diag^{-1/2}``)."""
     diag = bands[..., 1, 1, :, :]
     sg = jax.lax.rsqrt(jnp.where(diag > 0, diag, 1.0))
     sgE = {}
@@ -167,6 +171,46 @@ def assemble_coarse(w: st.StencilCoefficients, stride_r: int, stride_c: int
         axis=-4,
     )
     return CoarseOperator(bands=norm, sg=sg)
+
+
+@partial(jax.jit, static_argnames=("stride_r", "stride_c"))
+def assemble_coarse(w: st.StencilCoefficients, stride_r: int, stride_c: int
+                    ) -> CoarseOperator:
+    """Assemble the normalized coarse operator for fine stencil weights ``w``
+    (the UNSCALED ``K``; shapes ``(..., nr, nc)``)."""
+    return normalize_bands(assemble_coarse_raw(w, stride_r, stride_c))
+
+
+@partial(jax.jit, static_argnames=("stride_r", "stride_c"))
+def coarsen_bands(bands: jnp.ndarray, stride_r: int, stride_c: int
+                  ) -> jnp.ndarray:
+    """Galerkin-coarsen raw 9-point bands: ``G2 = P2^T G P2`` with bilinear
+    hats of ``stride`` on the COARSE INDEX grid; returns raw level-2 bands
+    ``(..., 3, 3, m2r, m2c)``.
+
+    The recursion mirrors level 1 exactly: the normalized ``Ghat = Sg G Sg``
+    has unit diagonal and its low modes are ``Sg^{-1} (smooth coarse
+    vectors)``, so the warped level-2 space is ``W2 = Sg^{-1} P2 Sg2`` and
+    ``W2^T Ghat W2 = Sg2 (P2^T G P2) Sg2`` — the normalized Galerkin
+    coarsening of the UNNORMALIZED ``G``.  That is what makes a third level
+    a pure repeat of the second (see pallas_cg_2l's kernel).
+    """
+    m1r, m1c = bands.shape[-2:]
+    hr2 = hat_matrix(m1r, stride_r)
+    hc2 = hat_matrix(m1c, stride_c)
+    m2r, m2c = hr2.shape[0], hc2.shape[0]
+    dt = bands.dtype
+    pairs = None
+    for dp in (-1, 0, 1):
+        R = jnp.asarray(_pair_stack(hr2, dp)).astype(dt)  # (3 m2r, m1r)
+        for dq in (-1, 0, 1):
+            C = jnp.asarray(_pair_stack(hc2, dq)).astype(dt)
+            band = bands[..., dp + 1, dq + 1, :, :]
+            t1 = jnp.einsum("Pp,...pq->...Pq", R, band)
+            term = jnp.einsum("...Pq,Qq->...PQ", t1, C)
+            pairs = term if pairs is None else pairs + term
+    batch = pairs.shape[:-2]
+    return jnp.moveaxis(pairs.reshape(batch + (3, m2r, 3, m2c)), -2, -3)
 
 
 def _shift2(x: jnp.ndarray, dp: int, dq: int) -> jnp.ndarray:

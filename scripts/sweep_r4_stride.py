@@ -68,20 +68,58 @@ def sweep(mesh_n, n_samples, cfgs, passes=4):
     return results
 
 
+def main2():
+    """Sweep round 2 (after the round-1 data): the mesh-64 losers all
+    LOWERED the fine window edge; try stride 8 with the edge kept high
+    (small residual gap [0.076, 0.116], strong fine Chebyshev), plus deg
+    variants.  mesh 40: the s5 auto-lmin winner vs high-edge variants."""
+    log("devices:", jax.devices())
+    sweep(64, 512, {
+        "default": (),
+        "s8_l116": (("stride", 8), ("lmin", 0.116)),
+        "s8_l116_dc14": (("stride", 8), ("lmin", 0.116), ("dc", 14),
+                         ("clmin", 0.01)),
+        "s8_l116_dc20": (("stride", 8), ("lmin", 0.116), ("dc", 20),
+                         ("clmin", 0.005)),
+        "s8_l09_dc14": (("stride", 8), ("lmin", 0.09), ("dc", 14),
+                        ("clmin", 0.01)),
+        "s8_l116_deg5": (("stride", 8), ("lmin", 0.116), ("deg", 5)),
+    }, passes=4)
+    sweep(40, 512, {
+        "s5": (("stride", 5),),
+        "s5_l116": (("stride", 5), ("lmin", 0.116)),
+        "s5_l116_dc14": (("stride", 5), ("lmin", 0.116), ("dc", 14),
+                         ("clmin", 0.01)),
+        "s5_deg3": (("stride", 5), ("deg", 3)),
+    }, passes=4)
+
+
 def main():
     log("devices:", jax.devices())
-    # mesh 64: default (stride 16, lmin auto 0.116) vs denser coarse
+    # Spectral-gap theory (r4 profiling): the stride-(n+1)/16 coarse grid
+    # only covers lambda <~ 2 sin^2(pi/(2 s)) — 0.019 at stride 16 — while
+    # the fine window starts at 0.116, leaving an unpreconditioned band
+    # that grows with mesh.  Denser coarse closes the gap but needs a
+    # deeper coarse Chebyshev (coarse lambda_min falls as 1/m^2):
+    # stride 8 at mesh 64 -> coverage 0.077, coarse lmin ~ 4.8e-3
+    # -> dc ~ 20 on [5e-3, 2.05] for the same coarse-solve quality.
     sweep(64, 512, {
         "default": (),
         "s8": (("stride", 8),),
-        "s8_lmin116": (("stride", 8), ("lmin", 0.116)),
-        "s16_lmin029": (("lmin", 0.029),),
+        "s8_dc20": (("stride", 8), ("dc", 20), ("clmin", 0.005)),
+        "s8_dc20_l46": (("stride", 8), ("dc", 20), ("clmin", 0.005),
+                        ("lmin", 0.046)),
+        "s8_dc14_l46": (("stride", 8), ("dc", 14), ("clmin", 0.01),
+                        ("lmin", 0.046)),
+        "s16_dc14": (("dc", 14), ("clmin", 0.01), ("lmin", 0.046)),
     }, passes=4)
     # mesh 40: default stride 10 vs 5 (both divide the 40-cell block)
-    sweep(40, 1000, {
+    sweep(40, 512, {
         "default": (),
         "s5": (("stride", 5),),
-        "s5_lmin": (("stride", 5), ("lmin", 0.116)),
+        "s5_dc20": (("stride", 5), ("dc", 20), ("clmin", 0.005)),
+        "s5_dc14_l46": (("stride", 5), ("dc", 14), ("clmin", 0.01),
+                        ("lmin", 0.046)),
     }, passes=4)
 
 

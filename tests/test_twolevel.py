@@ -320,3 +320,81 @@ def test_build_modes_agree_end_to_end():
                                    rtol=1e-9, atol=1e-12, err_msg=build)
         assert np.all(np.abs(outs["piecewise"][1] - outs[build][1])
                       <= 3 * 4), build
+
+
+def test_coarsen_bands_match_dense_gram():
+    """The level-2 Galerkin coarsening (``G2 = P2^T G P2`` with hats on the
+    COARSE INDEX grid) equals the dense oracle, entry by entry, after
+    normalization — the algebra that makes the third level a pure repeat of
+    the second (tl.coarsen_bands docstring)."""
+    rng = np.random.default_rng(7)
+    nr = nc = 23
+    sr = sc = 3   # level-1 stride -> m1 = 7
+    s2 = 2        # level-2 stride on the coarse index grid -> m2 = 3
+    acell = jnp.asarray(np.exp(3 * rng.standard_normal((2, nr + 1, nc + 1))))
+    w = st.stencil_weights(acell)
+    raw = tl.assemble_coarse_raw(w, sr, sc)
+    m1 = tl.hat_matrix(nr, sr).shape[0]
+    m2 = tl.hat_matrix(m1, s2).shape[0]
+    # dense oracle: P2^T G P2 with G the dense level-1 Gram
+    G = np.asarray(tl.coarse_gram_dense(w, sr, sc))
+    h2 = tl.hat_matrix(m1, s2)
+    P2 = np.einsum("Pp,Qq->PQpq", h2, h2).reshape(m2 * m2, m1 * m1)
+    G2 = np.einsum("Kk,bkl,Ll->bKL", P2, G, P2)
+    op2 = tl.normalize_bands(tl.coarsen_bands(raw, s2, s2))
+    sg2 = np.asarray(op2.sg)
+    bands2 = np.asarray(op2.bands)
+    G2_5 = G2.reshape(2, m2, m2, m2, m2)
+    for dp in (-1, 0, 1):
+        for dq in (-1, 0, 1):
+            for p in range(m2):
+                for q in range(m2):
+                    p2, q2 = p + dp, q + dq
+                    if 0 <= p2 < m2 and 0 <= q2 < m2:
+                        want = (G2_5[:, p, q, p2, q2] * sg2[:, p, q]
+                                * sg2[:, p2, q2])
+                        got = bands2[:, dp + 1, dq + 1, p, q]
+                        np.testing.assert_allclose(got, want, rtol=3e-5,
+                                                   atol=1e-6)
+    np.testing.assert_allclose(bands2[:, 1, 1], 1.0, rtol=1e-5)
+    assert np.all(bands2[:, 0, :, 0, :] == 0)
+    assert np.all(bands2[:, :, 2, :, -1] == 0)
+
+
+def test_three_level_solve_matches_two_level():
+    """The optional THIRD level (r4: warped level-2 correction inside the
+    coarse solve, packed-fine layout) must deliver the same solve as the
+    two-level default — it only changes the preconditioner."""
+    space = FemSpace((2, 2), 12)  # 23 x 23 interior, stride 2 -> m1 = 11
+    a = np.array(
+        [[[INFINIT_A, 1.0], [1.0, INFINIT_A]], [[1e6, 1.0], [1.0, 1.0]],
+         [[1.0, 1.0], [1.0, 1e4]]]
+    )
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (3,) + space.grid_shape
+    )
+    x2, info2 = solvers.solve_pcg_mixed(w, rhs, tol=1e-11, inner="pallas_2l")
+    x3, info3 = solvers.solve_pcg_mixed(
+        w, rhs, tol=1e-11, inner="pallas_2l",
+        inner_opts=(("stride2", 2), ("dc2", 6), ("cl2min", 0.05)),
+    )
+    assert float(info3.relative_residual.max()) < 1e-10
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(x2), rtol=1e-8,
+                               atol=1e-12)
+
+
+def test_three_level_through_fused_build_and_solve_api():
+    """Third level through the FemSpace.solve fast path (fused
+    block-coefficient operand build), which is what the bench runs."""
+    space = FemSpace((2, 2), 12)
+    rng = np.random.default_rng(13)
+    a = jnp.asarray(np.exp(rng.uniform(0, np.log(INFINIT_A), (4, 2, 2))))
+    x2 = space.solve(a, method="pallas", tol=1e-10)
+    x3, info = space.solve(
+        a, method="pallas", tol=1e-10, return_info=True,
+        inner_opts=(("stride2", 2), ("dc2", 6)),
+    )
+    assert float(info.relative_residual.max()) < 1e-9
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(x2), rtol=1e-8,
+                               atol=1e-12)
