@@ -52,9 +52,15 @@ def default_fine_window(grid_shape, strides) -> tuple[float, float]:
     """Fine Chebyshev window [mu, 2]: the coarse space owns modes below
     ``mu ~ 3 (pi * stride / (n+1))^2`` (TPU sweep at the paper grid: 0.12
     beats the prototype's 0.077 by ~4% end-to-end — the coarse level covers
-    slightly past its nominal cut, so the fine polynomial can be lazier)."""
+    slightly past its nominal cut, so the fine polynomial can be lazier).
+
+    The ratio floors at 1/16 (the paper grid's stride/(n+1), mu = 0.116):
+    denser-than-1/16 coarse grids keep covering well past their nominal cut,
+    and dropping the fine edge with them is a measured loser at every fine
+    mesh (sweeps 2026-08-19: mesh 40 stride 5, lmin 0.116 = 5,612/s vs auto
+    0.029 = 5,277; mesh 64 stride 8, 0.116 = 1,648 vs auto 1,618)."""
     ratio = max(strides[0] / (grid_shape[0] + 1),
-                strides[1] / (grid_shape[1] + 1))
+                strides[1] / (grid_shape[1] + 1), 1.0 / 16.0)
     return min(0.5, 3.0 * (math.pi * ratio) ** 2), 2.0
 
 

@@ -123,5 +123,47 @@ def main():
     }, passes=4)
 
 
+def main3():
+    """Sweep round 3: the THIRD level.  Round-2 verdict: at mesh 64 denser
+    level-1 coarse (stride 8) loses because solving its own low modes needs
+    dc ~ 20 Chebyshev sweeps on the (31, 128)-tile grid.  The third level
+    moves those low modes to a 7x7 (or 15x15) level-2 grid whose sweeps are
+    ~16x cheaper, letting level-1 run a SHALLOW window:
+      s2 = 4 covers coarse lambda <~ 2 sin^2(pi/8) ~ 0.29 -> dc ~ 5 on
+      [0.2, 2.05]; level-2 lmin ~ (pi/8)^2/2-ish ~ 0.05 -> dc2 ~ 10.
+      s2 = 2 covers ~1.0 -> dc ~ 3 on [0.55, 2.05]; dc2 ~ 14 on [0.015, ...].
+    """
+    log("devices:", jax.devices())
+    sweep(64, 512, {
+        "default": (),
+        "s8_2l": (("stride", 8), ("lmin", 0.116)),
+        "3l_s2x4": (("stride", 8), ("lmin", 0.116), ("stride2", 4),
+                    ("dc", 5), ("clmin", 0.2), ("dc2", 10),
+                    ("cl2min", 0.05)),
+        "3l_s2x2": (("stride", 8), ("lmin", 0.116), ("stride2", 2),
+                    ("dc", 3), ("clmin", 0.55), ("dc2", 14),
+                    ("cl2min", 0.015)),
+        "3l_s2x4_dc6": (("stride", 8), ("lmin", 0.116), ("stride2", 4),
+                        ("dc", 6), ("clmin", 0.15), ("dc2", 12),
+                        ("cl2min", 0.03)),
+        "3l_s2x4_l09": (("stride", 8), ("lmin", 0.09), ("stride2", 4),
+                        ("dc", 5), ("clmin", 0.2), ("dc2", 10),
+                        ("cl2min", 0.05)),
+    }, passes=4)
+    sweep(40, 512, {
+        "s5_l116": (("stride", 5), ("lmin", 0.116)),
+        "3l_s2x4": (("stride", 5), ("lmin", 0.116), ("stride2", 4),
+                    ("dc", 5), ("clmin", 0.2), ("dc2", 10),
+                    ("cl2min", 0.05)),
+        "3l_s2x2": (("stride", 5), ("lmin", 0.116), ("stride2", 2),
+                    ("dc", 3), ("clmin", 0.55), ("dc2", 14),
+                    ("cl2min", 0.015)),
+    }, passes=4)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    {"1": main, "2": main2, "3": main3}[
+        sys.argv[1] if len(sys.argv) > 1 else "1"
+    ]()
