@@ -38,6 +38,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from romhighcontrast_tpu.ops import stencil as st
 
+# Physical VMEM on TPU v5e is 128 MiB, but Mosaic's DEFAULT scoped limit is
+# 16 MiB — rounds 1-3 treated that default as the hardware wall (block-size
+# models capped near 15.5 MB and mesh 64 was forced to BS=1).  Measured
+# 2026-08-19 on the real chip: kernels allocating up to 128 MiB of VMEM
+# scratch compile AND run with ``vmem_limit_bytes`` raised.  Every solver
+# kernel passes VMEM_LIMIT_BYTES; the auto block-size models budget their
+# modeled live buffers against VMEM_BUDGET_BYTES (headroom for Mosaic
+# internal scratch and grid I/O double-buffering beyond the modeled set).
+VMEM_LIMIT_BYTES = 128 * 2**20
+VMEM_BUDGET_BYTES = 100 * 2**20
+
+
+def tpu_compiler_params():
+    """Shared Mosaic compiler params for all solver kernels."""
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+
 
 def _neighbor(x, axis, shift):
     """Neighbor gather via circular roll — wrap contributions are multiplied
@@ -158,6 +174,7 @@ def cg_symmetrized_pallas(
             out_specs=(spec, spec),
             out_shape=(jax.ShapeDtypeStruct((B, H, W), jnp.float32),
                        jax.ShapeDtypeStruct((B, H, W), jnp.float32)),
+            compiler_params=tpu_compiler_params(),
             interpret=interpret,
         )(wE, wW_, wS, wN, bp)
     return out_x[:, :nr, :nc], out_it[:, 0, 0].astype(jnp.int32)

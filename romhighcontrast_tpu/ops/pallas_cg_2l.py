@@ -45,7 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from romhighcontrast_tpu.ops import stencil as st
 from romhighcontrast_tpu.ops import twolevel as tl
-from romhighcontrast_tpu.ops.pallas_cg import _neighbor, _round_up
+from romhighcontrast_tpu.ops.pallas_cg import (
+    _neighbor, _round_up, tpu_compiler_params,
+)
 
 
 def default_fine_window(grid_shape, strides) -> tuple[float, float]:
@@ -78,28 +80,43 @@ def auto_block_size_2l(H: int, W: int) -> int:
 
 def auto_block_size_packed(H: int, nc: int, m1r: int, m1c: int) -> int:
     """Samples per block for the LANE-PACKED fine layout: all BS samples
-    share one ``(H, Lf)`` array at lane pitch ``Wf = nc + 1``.  Unlike the
-    stacked estimate, the lane-transfer matrices (Ccol/CcolT, ``Lf x Lc``)
-    and the coarse buffers scale with BS and must be counted: a 34-buffer
-    fine-only model said BS=16 fits at the paper config but the compiler
-    measured 16.48 MB (scoped limit 16 MB) — measured OOM 2026-08-18."""
+    share one ``(H, Lf)`` array at lane pitch ``Wf = nc + 1``.
+
+    With the VMEM wall lifted (pallas_cg.VMEM_LIMIT_BYTES — the 16 MB
+    "scoped limit" rounds 1-3 sized against was only Mosaic's default; the
+    chip has 128 MB), block size is picked by LANE ECONOMICS, measured
+    2026-08-19 (interleaved TPU sweeps, scripts/sweep_r4_stride.py main4):
+
+    * lane-padding waste dominates: mesh 40 BS=2 pads ``round_up(320, 128)
+      = 384`` (17% dead lanes) and runs 5,488/s; BS=8 packs 1280 exactly
+      and runs 6,584/s (+20%).  Prefer the BS with the smallest padding
+      fraction.
+    * at equal padding, bigger blocks win slightly (mesh 20 BS=16 27,999
+      vs BS=8 27,407; mesh 64 BS=8 1,871 ~ BS=1 1,868) — fewer grid steps
+      amortize per-block fixed work; ties break toward the larger BS.
+    * too-wide blocks lose: mesh 20 BS=32 (Lf=2560) 27,258 (-3%), mesh 40
+      BS=16 (Lf=2560) 6,451 (-2%) — cap ``Lf <= 2048``.
+
+    The VMEM budget still bounds the candidate set (the dd round-update
+    kernel's compensated-stencil temporaries peak at ~40 fine buffers;
+    the transfer matrices scale with BS^2), now against
+    ``VMEM_BUDGET_BYTES`` with headroom below the raised limit."""
+    from romhighcontrast_tpu.ops.pallas_cg import VMEM_BUDGET_BYTES
+
     Hc = _round_up(m1r + 1, 8)
-    bs = 8
-    while bs > 1:
-        Lf = _round_up(bs * (nc + 1), 128)
+    Wf = nc + 1
+    best, best_frac = 1, 1.0
+    for bs in (16, 8, 4, 2, 1):
+        Lf = _round_up(bs * Wf, 128)
         Lc = _round_up(bs * (m1c + 1), 128)
         est = (34 * H * Lf + 2 * Lf * Lc + 14 * Hc * Lc + 2 * Hc * H) * 4
-        # the dd round-update kernel shares this blocked layout and its
-        # compensated-stencil temporaries peak at ~40 fine buffers
-        # (compiler-measured 16.17 MB at (160, 640) — a marginal compile
-        # that OOM'd on recompile; bound it explicitly)
         est_dd = 40 * H * Lf * 4
-        # 15.5 MB cap against the 16 MB scoped limit: the extras are now
-        # explicit, so less slack is needed than the stacked model's 14 MB
-        if max(est, est_dd) <= 15.5 * 2**20:
-            break
-        bs //= 2
-    return bs
+        if max(est, est_dd) > VMEM_BUDGET_BYTES or Lf > 2048:
+            continue
+        frac = (Lf - bs * Wf) / Lf
+        if frac < best_frac - 1e-9:
+            best, best_frac = bs, frac
+    return best
 
 
 def fine_dims(dims) -> tuple[int, int, int]:
@@ -763,6 +780,7 @@ def cg_2l_prepared(
                 jax.ShapeDtypeStruct((BP // BS,) + fshape[1:], jnp.float32),
                 jax.ShapeDtypeStruct((BP // BS,) + it_shape[1:], jnp.int32),
             ),
+            compiler_params=tpu_compiler_params(),
             interpret=interpret,
         )(prep.wE, prep.wW, prep.wS, prep.wN, bp, prep.dh, prep.sg,
           *prep.cbands, rt2, prep.Rrow, prep.RrowT, prep.Ccol, prep.CcolT,

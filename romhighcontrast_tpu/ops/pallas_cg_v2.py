@@ -52,7 +52,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from romhighcontrast_tpu.ops import stencil as st
-from romhighcontrast_tpu.ops.pallas_cg import _neighbor, _round_up
+from romhighcontrast_tpu.ops.pallas_cg import (
+    _neighbor, _round_up, tpu_compiler_params,
+)
 
 
 def default_cheb_window(grid_shape: tuple[int, int]) -> tuple[float, float]:
@@ -267,6 +269,7 @@ def cg_symmetrized_pallas_v2(
                 jax.ShapeDtypeStruct((BP // BS, BS * H, W), jnp.float32),
                 jax.ShapeDtypeStruct((BP // BS, BS, 1), jnp.int32),
             ),
+            compiler_params=tpu_compiler_params(),
             interpret=interpret,
         )(wE, wW_, wS, wN, bp)
     out = out.reshape(BP, H, W)

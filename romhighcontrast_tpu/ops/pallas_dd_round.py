@@ -45,7 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from romhighcontrast_tpu.ops import dd
 from romhighcontrast_tpu.ops import stencil as st
-from romhighcontrast_tpu.ops.pallas_cg import _neighbor, _round_up
+from romhighcontrast_tpu.ops.pallas_cg import (
+    _neighbor, _round_up, tpu_compiler_params,
+)
 
 
 def _dd_round_kernel(wEh_ref, wEl_ref, wWh_ref, wWl_ref, wSh_ref, wSl_ref,
@@ -281,6 +283,7 @@ def build_dd_packed(a: jnp.ndarray, N: int, b3: jnp.ndarray, dims: tuple,
             in_specs=[fspec] * 4 + [smat(m) for m in masks],
             out_specs=(fspec,) * 14,
             out_shape=(out_sds,) * 14,
+            compiler_params=tpu_compiler_params(),
             interpret=interpret,
         )(chip, clop, bhp, blp, *masks)
     return PackedOperands(*outs)
@@ -497,6 +500,7 @@ def dd_round(prep: PreparedDD, dims: tuple, xh: jnp.ndarray, xl: jnp.ndarray,
                 jax.ShapeDtypeStruct((BP // BS, rows, lanes), jnp.float32),
                 jax.ShapeDtypeStruct((BP // BS,) + v_shape[1:], jnp.float32),
             ),
+            compiler_params=tpu_compiler_params(),
             interpret=interpret,
         )(prep.wEh, prep.wEl, prep.wWh, prep.wWl, prep.wSh, prep.wSl,
           prep.wNh, prep.wNl, prep.bth, prep.btl, prep.diag,

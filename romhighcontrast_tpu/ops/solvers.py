@@ -617,6 +617,10 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
             # BS=2 (mesh 40) deg-5 3,852 vs deg-4 3,727 vs deg-3 3,476;
             # BS=1 (mesh 64) deg-3 1,800 vs deg-5 1,653 vs deg-4 1,626.
             # Non-monotone in BS — a measured lookup, not a theory.
+            # Re-swept 2026-08-19 at the VMEM-freed sizes: deg-3 confirmed
+            # at BS=16 (mesh 20: 27.7k vs deg-4 26.1k) and at BS=8 for
+            # mesh 40 (6,508 vs deg-4 6,357 / deg-5 6,030) and mesh 64
+            # (1,866 vs deg-4 1,623).
             deg = {8: 3, 4: 4, 2: 5}.get(dims0[3], 3)
         else:
             # stacked layout (sweeps 2026-08-17): deg-4 beats deg-3 at

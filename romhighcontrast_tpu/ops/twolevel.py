@@ -54,14 +54,14 @@ def coarse_stride(n: int) -> int:
     also aligns coarse nodes with the 20-cell block boundaries (measured to
     matter: stride 8 needs ~2x the outer iterations of stride 5).
 
-    EXCEPT in the mid-size band (100 <= n < 200): there the lane-packed
-    layout runs BS=2, so the denser ``(n+1)/32`` coarse grid pads to the
-    SAME 128-lane coarse tile as ``(n+1)/16`` — density is layout-free and
-    wins on iterations.  Measured (interleaved TPU sweeps, scripts/
-    sweep_r4_stride.py, 2026-08-19): n=159 stride 5 = 5,277-5,612 solves/s
-    vs stride 10 = 4,410; at n=255 (BS=1) the denser grid LOSES (stride 8 =
-    1,618 vs stride 16 = 1,874) — density there doubles the coarse rows
-    instead.
+    EXCEPT in the mid-size band (100 <= n < 200): the denser ``(n+1)/32``
+    coarse grid wins on outer iterations outright.  Measured (interleaved
+    TPU sweeps, scripts/sweep_r4_stride.py, 2026-08-19): n=159 stride 5 =
+    5,277-5,612 solves/s vs stride 10 = 4,410 at BS=2, and still 6,508 vs
+    3,652 at BS=8 where stride 5 DOUBLES the packed coarse tile (so the
+    win is iteration counts, not lane accounting).  At n=255 (mesh 64) the
+    denser grid LOSES (stride 8 = 1,420-1,618 vs stride 16 = 1,866) —
+    density there doubles the coarse rows instead.
     """
     if 100 <= n < 200:
         return max(2, int(round((n + 1) / 32)))

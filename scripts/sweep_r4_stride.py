@@ -161,9 +161,60 @@ def main3():
     }, passes=4)
 
 
+def main4():
+    """Sweep round 4: BLOCK SIZE with the VMEM wall lifted.  Rounds 1-3
+    sized packed blocks against Mosaic's default 16 MB scoped-VMEM limit;
+    the chip has 128 MB (measured: a 128 MB-scratch kernel compiles and
+    runs with vmem_limit_bytes raised).  Mesh 64 was BS=1 and mesh 40 BS=2
+    purely for VMEM — sweep the freed sizes."""
+    log("devices:", jax.devices())
+    sweep(64, 512, {
+        "default_bs1": (),
+        "bs2": (("block_size", 2),),
+        "bs4": (("block_size", 4),),
+        "bs8": (("block_size", 8),),
+    }, passes=4)
+    sweep(40, 512, {
+        "default_bs2": (),
+        "bs4": (("block_size", 4),),
+        "bs8": (("block_size", 8),),
+        "bs16": (("block_size", 16),),
+    }, passes=4)
+    sweep(20, 1000, {
+        "default_bs8": (),
+        "bs16": (("block_size", 16),),
+        "bs32": (("block_size", 32),),
+    }, passes=4)
+
+
+def main5():
+    """Sweep round 5: retune stride/deg under the VMEM-freed block sizes.
+    The mesh-40 stride-5 retune was justified by "BS=2 pads stride 5 and 10
+    to the same 128-lane tile" — at BS=8 that is false (stride 5 doubles the
+    packed coarse tile: Lc 256 vs 128), so re-check; the deg optimum is a
+    per-BS lookup measured at the OLD sizes."""
+    log("devices:", jax.devices())
+    sweep(40, 512, {
+        "bs8_s5": (("block_size", 8),),
+        "bs8_s10": (("block_size", 8), ("stride", 10)),
+        "bs8_s5_deg4": (("block_size", 8), ("deg", 4)),
+        "bs8_s5_deg5": (("block_size", 8), ("deg", 5)),
+        "bs8_s10_deg4": (("block_size", 8), ("stride", 10), ("deg", 4)),
+    }, passes=4)
+    sweep(20, 1000, {
+        "bs16": (("block_size", 16),),
+        "bs16_deg4": (("block_size", 16), ("deg", 4)),
+    }, passes=4)
+    sweep(64, 512, {
+        "bs8": (("block_size", 8),),
+        "bs8_deg4": (("block_size", 8), ("deg", 4)),
+        "bs8_s8": (("block_size", 8), ("stride", 8), ("lmin", 0.116)),
+    }, passes=4)
+
+
 if __name__ == "__main__":
     import sys
 
-    {"1": main, "2": main2, "3": main3}[
+    {"1": main, "2": main2, "3": main3, "4": main4, "5": main5}[
         sys.argv[1] if len(sys.argv) > 1 else "1"
     ]()

@@ -398,3 +398,23 @@ def test_three_level_through_fused_build_and_solve_api():
     assert float(info.relative_residual.max()) < 1e-9
     np.testing.assert_allclose(np.asarray(x3), np.asarray(x2), rtol=1e-8,
                                atol=1e-12)
+
+
+def test_auto_block_size_packed_lane_economics():
+    """The packed block-size model picks by lane economics under the raised
+    VMEM budget (pallas_cg.VMEM_BUDGET_BYTES): smallest lane-padding
+    fraction, ties to the larger BS, Lf capped at 2048.  Pin the measured
+    sweep optima (scripts/sweep_r4_stride.py main4/main5, TPU 2026-08-19)
+    at the three suite meshes."""
+    from romhighcontrast_tpu.ops.pallas_cg_2l import (
+        _round_up, auto_block_size_packed)
+
+    for n, want in ((79, 16), (159, 8), (255, 8)):
+        s = tl.coarse_stride(n)
+        m1 = tl.hat_matrix(n, s).shape[0]
+        H = _round_up(n + 1, 8)
+        bs = auto_block_size_packed(H, n, m1, m1)
+        assert bs == want, (n, bs)
+        Lf = _round_up(bs * (n + 1), 128)
+        assert Lf <= 2048
+        assert Lf == bs * (n + 1)  # zero dead lanes at the suite meshes
