@@ -196,7 +196,8 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
                    H: int, deg: int, lmin: float, lmax: float, dc: int,
                    clmin: float, clmax: float, xfer_bf16: bool = False,
                    Wcp: int = 0, Wf: int = 0, fuse_dots: bool = False,
-                   dc2: int = 0, cl2min: float = 0.12, cl2max: float = 2.05):
+                   dc2: int = 0, cl2min: float = 0.12, cl2max: float = 2.05,
+                   hi_xfer: bool = False):
     f32 = jnp.float32
     wE, wW, wS, wN = wE_ref[0], wW_ref[0], wS_ref[0], wN_ref[0]
     b = b_ref[0]
@@ -358,16 +359,29 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
         # the row restriction is ONE shared (Hc, H) x (H, Lf) matmul over
         # all samples at once, and the lane restriction one block-diagonal
         # (Lf, Lc) matmul (hc.T per sample at offsets (s*Wf, s*Wcp)).
+        # hi_xfer: run the four warped-transfer matmuls at HIGHEST matmul
+        # precision (Mosaic accepts precision=HIGHEST in-kernel).  Probed on
+        # hardware 2026-08-19 (scripts/probe_2l_floor_tpu.py): NEUTRAL —
+        # at the retuned defaults mesh 40 refines to ~2e-12 either way (the
+        # old ~3e-9 floor is gone), and the mesh-64 deep-ask instability is
+        # an f32 CG divergence past its floor, not transfer rounding.
+        # Kept as a tested A/B knob; default off.
+        xp = jax.lax.Precision.HIGHEST if hi_xfer else None
+
         def precond(r):
             # xfer_bf16 is honored here too (Rrow_x/RrowT_x): measured
             # exactly neutral, kept for semantic consistency with the
             # stacked branches.
             t = dh * r                                        # (H, Lf)
-            c1 = jnp.dot(Rrow_x, t, preferred_element_type=f32)  # (Hc, Lf)
-            craw = jnp.dot(c1, Ccol, preferred_element_type=f32)  # (Hc, Lc)
+            c1 = jnp.dot(Rrow_x, t, preferred_element_type=f32,
+                         precision=xp)                        # (Hc, Lf)
+            craw = jnp.dot(c1, Ccol, preferred_element_type=f32,
+                           precision=xp)                      # (Hc, Lc)
             y = sg * coarse_solve(craw)                       # (Hc, Lc)
-            u = jnp.dot(y, CcolT, preferred_element_type=f32)  # (Hc, Lf)
-            zc = dh * jnp.dot(RrowT_x, u, preferred_element_type=f32)
+            u = jnp.dot(y, CcolT, preferred_element_type=f32,
+                        precision=xp)                         # (Hc, Lf)
+            zc = dh * jnp.dot(RrowT_x, u, preferred_element_type=f32,
+                              precision=xp)
             return fine_cheb(r) + zc
     elif Wcp:
         # LANE-PACKED coarse stage: all BS samples share one (Hcp, L) array
@@ -708,6 +722,7 @@ def cg_2l_prepared(
     dc2: int = 0,
     cl2min: float = 0.12,
     cl2max: float = 2.05,
+    hi_xfer: bool = False,
 ):
     """Run the kernel against prepared operands.  ``b`` ``(B, nr, nc)`` and
     ``rtol2`` ``(B,)`` must be in the SAME sample order as the prepared
@@ -716,7 +731,12 @@ def cg_2l_prepared(
     ``blocked_io=True``: ``b`` arrives and ``x`` is returned in the blocked
     ``(BP//BS, BS*H, W)`` layout (the dd refinement driver keeps its state
     blocked across rounds; the per-round pad/unpad copies are pure HBM
-    traffic)."""
+    traffic).
+
+    ``hi_xfer``: HIGHEST-precision warped-transfer matmuls; honored in the
+    packed-fine branch only (the default layout), a documented no-op in
+    the stacked/packed-coarse branches.  Measured perf- and accuracy-
+    neutral on hardware (docs/ROADMAP.md r4 item 7)."""
     B, nr, nc, BS, H, W, Hc, Wc, BP = dims[:9]
     Wcp = dims[9] if len(dims) > 9 else 0
     Wf = dims[10] if len(dims) > 10 else 0
@@ -770,6 +790,7 @@ def cg_2l_prepared(
                 fuse_dots=fuse_dots,
                 dc2=(dc2 if three_level else 0),
                 cl2min=float(cl2min), cl2max=float(cl2max),
+                hi_xfer=hi_xfer,
             ),
             grid=(BP // BS,),
             in_specs=[fspec] * 6 + [cspec] * 9 + [it_spec]

@@ -146,6 +146,23 @@ def test_bf16_transfer_flag_still_converges():
     assert float(info.relative_residual.max()) < 1e-10
 
 
+def test_hi_xfer_transfer_flag_still_converges():
+    """``hi_xfer`` (HIGHEST-precision warped-transfer matmuls; measured
+    perf- and accuracy-neutral on TPU — scripts/probe_2l_floor_tpu.py,
+    docs/ROADMAP.md r4 item 7) must stay a correct A/B knob."""
+    space = FemSpace((2, 2), 8)
+    a = np.array([[[1.0, INFINIT_A], [10.0, 1.0]]])
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (1,) + space.grid_shape
+    )
+    _, info = solvers.solve_pcg_mixed(
+        w, rhs, tol=1e-10, inner="pallas_2l",
+        inner_opts=(("hi_xfer", True),),
+    )
+    assert float(info.relative_residual.max()) < 1e-10
+
+
 def test_adaptive_round_tolerance_respects_target():
     """solve(tol=...) must deliver ~tol residuals through the adaptive
     per-round schedule (not silently stop a decade early)."""
