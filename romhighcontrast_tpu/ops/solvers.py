@@ -436,10 +436,13 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
       kernel.  With the adaptive tolerance schedule these finish ~99% of
       samples.
     * **Phase B** — remaining rounds on the top-``K`` worst samples only
-      (``lax.top_k`` by residual ratio, gathered to a compact subproblem)
-      with the single-level inner kernel (clean f32 floor — the two-level
-      kernel's warped coarse roundtrip floors TRUE delivery at ~3e-9 at
-      mesh >= 40).
+      (``lax.top_k`` by residual ratio, gathered to a compact subproblem).
+      The inner is selectable via ``inner_opts``: ``phase_b_inner="v2"``
+      (single-level deg-12 kernel — the historical default, chosen when
+      the 2l kernel still had a ~3e-9 TRUE-delivery floor at mesh >= 40)
+      or ``"2l"`` (compact two-level subproblem — the r4 retune removed
+      that floor, and the single-level dig's iteration count grows with
+      mesh, so this wins at fine meshes).
     * **Phase C** — full-batch safety loop (single-level inner); its cond
       is false unless more than ``K`` samples survived phase A
       (pathological batches), so it normally costs nothing at runtime.
@@ -501,6 +504,21 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     # ~20% of the solve and kernel/xla already overlap it).
     build = str(_opts.pop("build", "kernel"))
     block_size = _opts.pop("block_size", None)
+    # phase-B inner: "v2" (single-level deg-12 straggler dig — the round-3
+    # default) or "2l" (compact TWO-LEVEL subproblem over the gathered
+    # stragglers).  The v2 choice dated from the 2l kernel's ~3e-9 TRUE-
+    # delivery floor at mesh >= 40, which the r4 retune removed
+    # (scripts/probe_2l_floor_tpu.py) — and the single-level dig's
+    # iteration count grows with mesh (its Chebyshev window narrows as
+    # 1/n^2), so at fine meshes phase B dominates wall-clock.  The phased
+    # asks (floor inner_tol = 3e-6) stay far above the measured mesh-64
+    # deep-ask instability (~1e-11), so the 2l inner is safe here.
+    phase_b_inner = str(_opts.pop("phase_b_inner", "v2"))
+    # compact-phase hand-off size.  128 is the measured optimum at the
+    # paper config (256/384 ran 8-14% slower — top-k gather and compact
+    # prep grow with K while masked full-batch rounds already exit at
+    # iteration zero); exposed for tests and sweeps.
+    phase_b_k = int(_opts.pop("phase_b_k", 128))
     inner_opts = tuple(_opts.items())
 
     def flat(v):
@@ -697,6 +715,13 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                 d, its, mv = x3[inv], its[inv], 13
                 d_blocked = False
             else:
+                opts_x = dict(inner_opts)
+                if prep2lX.sg2 is None:
+                    # this prep carries no level-2 operands (e.g. the
+                    # compact phase-B prep): the kernel knobs must not ask
+                    # for one
+                    for k2 in ("dc2", "cl2min", "cl2max"):
+                        opts_x.pop(k2, None)
                 d, its = cg_2l_prepared(
                     prep2lX, dimsX, rt, rtol2,
                     # cap outer iterations: healthy samples need <= ~21 to
@@ -704,7 +729,7 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                     # block for the full budget
                     maxiter=min(maxiter_inner, 64), interpret=interpret,
                     strides=strides, blocked_io=blocked,
-                    **dict(inner_opts),
+                    **opts_x,
                 )
                 mv = mv2l
                 d_blocked = blocked
@@ -758,7 +783,7 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
 
     state = (xh0, xl0, rt0, rr0, jnp.int32(0), jnp.zeros((B,), jnp.int32),
              jnp.zeros((B,), f32), jnp.full((B,), jnp.inf, f32))
-    K = 128
+    K = phase_b_k
     phase_b = B >= 2 * K and max_rounds > 2
     bodyA = make_body(False, wt_s, prepdd0, dims0, t2s, prep2lX=prep2l0,
                       blocked=True)
@@ -785,7 +810,23 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
             )
         else:
             opsK = gather_dd(ops_s, idx)
-        dimsK = dd_dims(K, nr, nc)
+        if phase_b_inner == "2l":
+            # compact TWO-LEVEL subproblem: re-prep the gathered samples
+            # for the 2l kernel (the coarse operands are already assembled
+            # for the full batch — normalize-then-gather == gather-then-
+            # normalize since both are per-sample).  One dims plan serves
+            # the inner kernel and the dd round (shared layout contract).
+            dhK = gp(Kb.dh) if fused else dh3[idx]
+            coarseK = tl.CoarseOperator(bands=coarse.bands[idx],
+                                        sg=coarse.sg[idx])
+            prep2lK, dimsK = prepare_2l(
+                hi_weights(opsK), dhK, coarseK, strides,
+                block_size=block_size, packed_coarse=packed_coarse,
+                packed_fine=packed_fine,
+            )
+        else:
+            prep2lK = None
+            dimsK = dd_dims(K, nr, nc)
         prepddK = prepare_dd(opsK, dimsK)
         t2K = t2s[idx]
 
@@ -797,7 +838,11 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         stK = (gather_block(xh), gather_block(xl), gather_block(rt),
                rr[idx], rounds, iters[idx], key[idx],
                jnp.full((K,), jnp.inf, f32))
-        bodyK = make_body(True, hi_weights(opsK), prepddK, dimsK, t2K)
+        if phase_b_inner == "2l":
+            bodyK = make_body(False, None, prepddK, dimsK, t2K,
+                              prep2lX=prep2lK)
+        else:
+            bodyK = make_body(True, hi_weights(opsK), prepddK, dimsK, t2K)
         stK = lax.while_loop(round_cond(t2K, rounds + max_rounds), bodyK,
                              stK)
 

@@ -93,6 +93,38 @@ def test_pallas_interpret_matches_xla(inner, problem):
                                atol=1e-12)
 
 
+@pytest.mark.parametrize("pbi", ["v2", "2l"])
+def test_phase_b_inner_variants_reach_accuracy(pbi, problem):
+    """The compact straggler phase must reach the asked tolerance with
+    either inner kernel (``phase_b_inner="v2"`` — the single-level dig —
+    or ``"2l"`` — the compact two-level subproblem added in round 4 for
+    fine meshes).  Phase B is forced to engage by mixing a few stiff
+    samples into a batch of zero-rhs samples (zero-rhs converges at round
+    zero, so after two rounds the unconverged count is <= phase_b_k and
+    phase A hands off)."""
+    space, a3, refs = problem
+    reps = 10
+    a = np.concatenate([a3] + [np.ones((reps - 1,) + a3.shape[1:])])
+    a[3:, 0, 0] = 2.0  # distinct easy samples
+    w = space.weights(a)
+    rhs = np.broadcast_to(
+        np.asarray(space.load).reshape(space.grid_shape),
+        (len(a),) + space.grid_shape,
+    ).copy()
+    rhs[3:] = 0.0  # converge instantly -> stragglers are the 3 real ones
+    x, info = solvers.solve_pcg_mixed(
+        w, jnp.asarray(rhs), tol=1e-11, inner="pallas_2l",
+        inner_opts=(("phase_b_k", 4), ("phase_b_inner", pbi)),
+    )
+    res = np.asarray(info.relative_residual)
+    assert res.max() < 1e-10, (pbi, res)
+    sols = np.asarray(x).reshape(len(a), -1)
+    for k in range(3):
+        err = np.max(np.abs(sols[k] - refs[k])) / np.max(np.abs(refs[k]))
+        assert err < 1e-9, (pbi, k, err)
+    assert np.all(sols[3:] == 0.0)
+
+
 def test_iteration_counts_are_honest(problem):
     """The fused v2 kernel must report real per-sample iteration counts;
     since round 4 the legacy single-sample kernel also reports real
