@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from romhighcontrast_tpu.ops import dd
 from romhighcontrast_tpu.ops import stencil as st
 from romhighcontrast_tpu.ops import twolevel as tl
 from romhighcontrast_tpu.ops.pallas_cg import (
@@ -189,6 +190,74 @@ def _transfer_mats(hr, hc, BS, H, W, Hc, Wc):
             jnp.asarray(Ccol), jnp.asarray(Ccol.T))
 
 
+def _make_cmatvec(bands):
+    # normalized coarse 9-point stencil; unit diagonal by construction,
+    # signed off-diagonal bands (no negation here)
+    def cmatvec(y):
+        out = y
+        for (dp, dq), wgt in bands.items():
+            t = y
+            if dp:
+                t = _neighbor(t, 0, -dp)
+            if dq:
+                t = _neighbor(t, 1, -dq)
+            out = out + wgt * t
+        return out
+
+    return cmatvec
+
+
+def _make_cheb(apply_op, deg_, lo, hi):
+    f32 = jnp.float32
+    theta = f32((hi + lo) / 2.0)
+    delta = f32((hi - lo) / 2.0)
+    sigma = float((hi + lo) / (hi - lo))
+
+    def cheb(r):
+        rho = f32(1.0 / sigma)
+        d = r / theta
+        z = d
+        for _ in range(deg_ - 1):
+            rho_new = f32(1.0) / (f32(2.0 * sigma) - rho)
+            d = (rho_new * rho) * d + (f32(2.0) * rho_new / delta) * (
+                r - apply_op(z)
+            )
+            z = z + d
+            rho = rho_new
+        return z
+
+    return cheb
+
+
+def _lane_helpers(lanes: int, BS: int, Wf: int):
+    """Per-sample scalar machinery for the LANE-PACKED fine layout: the
+    ``(Lf, BS)`` lane-selection matrix plus the (pair-)dot and row-broadcast
+    closures built on it (shared by the CG kernels)."""
+    f32 = jnp.float32
+    lid = jax.lax.broadcasted_iota(jnp.int32, (lanes, BS), 0) // Wf
+    kid = jax.lax.broadcasted_iota(jnp.int32, (lanes, BS), 1)
+    Ssel = (lid == kid).astype(f32)  # (Lf, BS); padded lanes match none
+
+    def dots(u, v):
+        part = jnp.sum(u * v, axis=0, keepdims=True)  # (1, Lf)
+        return jnp.dot(part, Ssel, preferred_element_type=f32)
+
+    def dots2(u, v, w):
+        # (u.v, u.w) through ONE lane-selection matmul: the two (1, Lf)
+        # partials stack on the sublane axis, so the pair costs one
+        # (2, Lf) x (Lf, BS) MXU pass instead of two
+        parts = jnp.concatenate(
+            [jnp.sum(u * v, axis=0, keepdims=True),
+             jnp.sum(u * w, axis=0, keepdims=True)], axis=0)
+        res = jnp.dot(parts, Ssel, preferred_element_type=f32)
+        return res[0:1, :], res[1:2, :]
+
+    def to_rows(c):  # (1, BS) -> (1, Lf), row-broadcast at use sites
+        return jnp.dot(c, Ssel.T, preferred_element_type=f32)
+
+    return dots, dots2, to_rows
+
+
 def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
                    cnn_ref, cn0_ref, cnp_ref, c0n_ref, c0p_ref, cpn_ref,
                    cp0_ref, cpp_ref, rtol2_ref, Rrow_ref, RrowT_ref, Ccol_ref,
@@ -240,27 +309,7 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
         # LANE-PACKED fine layout: samples along lanes at pitch Wf; the
         # per-sample scalars live as (1, BS) lane vectors, the segment
         # reductions as a sublane sum + one tiny lane-selection matmul
-        lanes = wE.shape[1]
-        lid = jax.lax.broadcasted_iota(jnp.int32, (lanes, BS), 0) // Wf
-        kid = jax.lax.broadcasted_iota(jnp.int32, (lanes, BS), 1)
-        Ssel = (lid == kid).astype(f32)  # (Lf, BS); padded lanes match none
-
-        def dots(u, v):
-            part = jnp.sum(u * v, axis=0, keepdims=True)  # (1, Lf)
-            return jnp.dot(part, Ssel, preferred_element_type=f32)
-
-        def dots2(u, v, w):
-            # (u.v, u.w) through ONE lane-selection matmul: the two (1, Lf)
-            # partials stack on the sublane axis, so the pair costs one
-            # (2, Lf) x (Lf, BS) MXU pass instead of two
-            parts = jnp.concatenate(
-                [jnp.sum(u * v, axis=0, keepdims=True),
-                 jnp.sum(u * w, axis=0, keepdims=True)], axis=0)
-            res = jnp.dot(parts, Ssel, preferred_element_type=f32)
-            return res[0:1, :], res[1:2, :]
-
-        def to_rows(c):  # (1, BS) -> (1, Lf), row-broadcast at use sites
-            return jnp.dot(c, Ssel.T, preferred_element_type=f32)
+        dots, dots2, to_rows = _lane_helpers(wE.shape[1], BS, Wf)
     else:
         rows = wE.shape[0]  # BS * H
 
@@ -283,48 +332,12 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
         def to_rows(c):
             return jnp.dot(S.T, c, preferred_element_type=f32)
 
-    def make_cmatvec(bands):
-        # normalized coarse 9-point stencil; unit diagonal by construction,
-        # signed off-diagonal bands (no negation here)
-        def cmatvec(y):
-            out = y
-            for (dp, dq), wgt in bands.items():
-                t = y
-                if dp:
-                    t = _neighbor(t, 0, -dp)
-                if dq:
-                    t = _neighbor(t, 1, -dq)
-                out = out + wgt * t
-            return out
+    cmatvec = _make_cmatvec(cb)
 
-        return cmatvec
-
-    cmatvec = make_cmatvec(cb)
-
-    def make_cheb(apply_op, deg_, lo, hi):
-        theta = f32((hi + lo) / 2.0)
-        delta = f32((hi - lo) / 2.0)
-        sigma = float((hi + lo) / (hi - lo))
-
-        def cheb(r):
-            rho = f32(1.0 / sigma)
-            d = r / theta
-            z = d
-            for _ in range(deg_ - 1):
-                rho_new = f32(1.0) / (f32(2.0 * sigma) - rho)
-                d = (rho_new * rho) * d + (f32(2.0) * rho_new / delta) * (
-                    r - apply_op(z)
-                )
-                z = z + d
-                rho = rho_new
-            return z
-
-        return cheb
-
-    fine_cheb = make_cheb(matvec, deg, lmin, lmax)
-    coarse_cheb = make_cheb(cmatvec, dc, clmin, clmax)
+    fine_cheb = _make_cheb(matvec, deg, lmin, lmax)
+    coarse_cheb = _make_cheb(cmatvec, dc, clmin, clmax)
     if dc2:
-        coarse2_cheb = make_cheb(make_cmatvec(cb2), dc2, cl2min, cl2max)
+        coarse2_cheb = _make_cheb(_make_cmatvec(cb2), dc2, cl2min, cl2max)
 
         def coarse_solve(craw):
             # additive two-level solve of Ghat y = sg*craw: Chebyshev on the
@@ -485,6 +498,183 @@ def _pcg_2l_kernel(wE_ref, wW_ref, wS_ref, wN_ref, b_ref, dh_ref, sg_ref,
     out = jax.lax.while_loop(cond, body, state)
     x_ref[0] = out[0]
     it_ref[0] = out[6].astype(jnp.int32)
+
+
+def _pcg_2l_dd_kernel(wEh_ref, wEl_ref, wWh_ref, wWl_ref, wSh_ref, wSl_ref,
+                      wNh_ref, wNl_ref, bth_ref, btl_ref, diag_ref,
+                      dh_ref, sg_ref,
+                      cnn_ref, cn0_ref, cnp_ref, c0n_ref, c0p_ref, cpn_ref,
+                      cp0_ref, cpp_ref, t2_ref, Rrow_ref, RrowT_ref,
+                      Ccol_ref, CcolT_ref, xh0_ref, xl0_ref,
+                      xh_out, xl_out, rt_out, rr_out, it_ref, *,
+                      maxiter: int, BS: int, H: int, deg: int, lmin: float,
+                      lmax: float, dc: int, clmin: float, clmax: float,
+                      Wf: int, rep_drop2: float):
+    """Two-level PCG with DOUBLE-F32 solution/residual state and in-kernel
+    residual REPLACEMENT (van der Vorst & Ye 2000 reliable updates).
+
+    Motivation (measured, docs/ROADMAP.md r4): the restart-based refinement
+    loop's per-round TRUE-residual contraction floors at ~eps32 * kappa
+    (the recurrence residual drifts from the true one by ~eps32*|K||p| per
+    iteration), which grows ~mesh^2 — at mesh 64 every sample pays extra
+    rounds and the straggler tail dominates.  Carrying x and r as (hi, lo)
+    f32 pairs and periodically REPLACING the recurrence residual with the
+    compensated true residual ``bt - K x`` (the same Dekker two-product
+    stencil as ops/pallas_dd_round.py) removes the floor: attainable
+    accuracy becomes ~eps_dd * kappa (~2^-48 * kappa) in ONE solve, at
+    ideal-CG iteration counts (numpy prototype, scripts/proto_dd_rr.py:
+    mesh 20 359 its vs 574 for 3 restart rounds; mesh 64 1262 vs 2958).
+
+    Key details vs the plain kernel (_pcg_2l_kernel):
+
+    * p, the matvec, the preconditioner and all CG dots stay PLAIN f32 —
+      direction-side rounding only perturbs the Krylov process, not the
+      attainable accuracy.  Only the x/r axpys are compensated
+      (dd_add_f32: ~6 VPU ops vs 1) and the periodic replacement runs the
+      full dd stencil (~15 matvec-equivalents, ~ln(1/rep_drop)/ln(10)
+      decades apart per sample).
+    * replacement triggers PER SAMPLE when its recurrence ``rr`` has
+      dropped by ``rep_drop2`` since its last replacement; the dd pass is
+      guarded by one ``lax.cond`` on the block-level any-trigger, and only
+      triggered lanes take the replaced values.  beta is NOT reset at
+      replacement (measured: restarting the direction costs ~1.4-1.6x
+      iterations; the replaced residual is within ~eps32*kappa/rep_drop of
+      the recurrence one, so conjugacy survives).
+    * convergence gates on the ORIGINAL-space norm ``sum(diag * r^2)``
+      against the ABSOLUTE per-sample threshold ``t2`` (inf on padding) —
+      the same contract as the dd round kernel, honest to within the
+      last drop window (<~ eps32 * kappa / rep_drop relative).
+    * lane-packed fine layout only (the default); two-level only.
+
+    Outputs: final (xh, xl) blocked; ``rt`` = TRUE residual hi masked to
+    still-unconverged samples (the compact straggler phase's rhs); ``rr``
+    per-sample TRUE original-space squared norms (a final unconditional
+    replacement certifies the exit — the loop itself gates on the
+    recurrence); per-sample outer-iteration counts.
+    """
+    f32 = jnp.float32
+    whl = ((wEh_ref[0], wEl_ref[0]), (wWh_ref[0], wWl_ref[0]),
+           (wSh_ref[0], wSl_ref[0]), (wNh_ref[0], wNl_ref[0]))
+    bth, btl = bth_ref[0], btl_ref[0]
+    diag = diag_ref[0]
+    dh = dh_ref[0]
+    sg = sg_ref[0]
+    cb = {(-1, -1): cnn_ref[0], (-1, 0): cn0_ref[0], (-1, 1): cnp_ref[0],
+          (0, -1): c0n_ref[0], (0, 1): c0p_ref[0], (1, -1): cpn_ref[0],
+          (1, 0): cp0_ref[0], (1, 1): cpp_ref[0]}
+    Rrow, RrowT, Ccol, CcolT = (Rrow_ref[...], RrowT_ref[...], Ccol_ref[...],
+                                CcolT_ref[...])
+    t2 = t2_ref[0]  # (1, BS) absolute original-space squared threshold
+
+    def matvec(u):  # hi planes = the unit-diagonal symmetrized operator
+        out = u
+        for (wh, _), (axis, shift) in zip(whl, ((1, -1), (1, 1),
+                                                (0, -1), (0, 1))):
+            out = out - wh * _neighbor(u, axis, shift)
+        return out
+
+    def dd_resid(xh, xl):
+        # r = (bt - x) + sum_dir w x_nbr in compensated arithmetic (unit
+        # diagonal makes the x term exact) — same as _dd_round_kernel
+        ah, al = dd.dd_sub(bth, btl, xh, xl)
+        for (wh, wl), (axis, shift) in zip(whl, ((1, -1), (1, 1),
+                                                 (0, -1), (0, 1))):
+            nh = _neighbor(xh, axis, shift)
+            nl = _neighbor(xl, axis, shift)
+            ph, pe = dd.dd_mul(wh, wl, nh, nl)
+            ah, al = dd.dd_add(ah, al, ph, pe)
+        return ah, al
+
+    dots, _, to_rows = _lane_helpers(bth.shape[1], BS, Wf)
+
+    def norm2(rh):
+        return dots(diag * rh, rh)
+
+    fine_cheb = _make_cheb(matvec, deg, lmin, lmax)
+    coarse_cheb = _make_cheb(_make_cmatvec(cb), dc, clmin, clmax)
+
+    def precond(r):
+        t = dh * r                                        # (H, Lf)
+        c1 = jnp.dot(Rrow, t, preferred_element_type=f32)  # (Hc, Lf)
+        craw = jnp.dot(c1, Ccol, preferred_element_type=f32)  # (Hc, Lc)
+        y = sg * coarse_cheb(sg * craw)
+        u = jnp.dot(y, CcolT, preferred_element_type=f32)
+        zc = dh * jnp.dot(RrowT, u, preferred_element_type=f32)
+        return fine_cheb(r) + zc
+
+    one = f32(1.0)
+    zero = f32(0.0)
+
+    xh0, xl0 = xh0_ref[0], xl0_ref[0]
+    rh0, rl0 = dd_resid(xh0, xl0)
+    rr0 = norm2(rh0)
+    div2 = f32(1e12) * jnp.where(rr0 > 0, rr0, one)
+
+    def is_active(rr):
+        return jnp.logical_and(rr > t2, rr < div2).astype(f32)
+
+    def cond(state):
+        rr, it = state[6], state[8]
+        keep = jnp.max(is_active(rr)) > zero
+        return jnp.logical_and(keep, it < maxiter)
+
+    def body(state):
+        xh, xl, rh, rl, p, rz, rr, rr_rep, it, counts = state
+        active = is_active(rr)
+        Kp = matvec(p)
+        pKp = dots(p, Kp)
+        alpha = active * jnp.where(pKp > 0, rz / jnp.where(pKp > 0, pKp, one),
+                                   zero)
+        ok = (alpha * rz < div2).astype(f32)
+        alpha = alpha * ok
+        ar = to_rows(alpha)
+        xh, xl = dd.dd_add_f32(xh, xl, ar * p)
+        rh, rl = dd.dd_add_f32(rh, rl, -(ar * Kp))
+        rr_new = norm2(rh)
+        rr_new = jnp.where(jnp.isfinite(rr_new), rr_new, f32(2.0) * div2)
+        rr_new = jnp.where(ok > 0, rr_new, f32(2.0) * div2)
+        trig = active * (rr_new <= f32(rep_drop2) * rr_rep).astype(f32)
+
+        def do_rep(args):
+            rh_, rl_, rrn_, rep_ = args
+            ah, al = dd_resid(xh, xl)
+            tr = to_rows(trig)
+            rh2 = jnp.where(tr > 0, ah, rh_)
+            rl2 = jnp.where(tr > 0, al, rl_)
+            rr2 = norm2(rh2)  # untriggered lanes re-reduce unchanged rh
+            rep2 = jnp.where(trig > 0, rr2, rep_)
+            return rh2, rl2, rr2, rep2
+
+        rh, rl, rr_new, rr_rep = jax.lax.cond(
+            jnp.max(trig) > zero, do_rep, lambda a: a,
+            (rh, rl, rr_new, rr_rep))
+        z = precond(rh)
+        rz_new = dots(rh, z)
+        beta = active * jnp.where(rz != 0,
+                                  rz_new / jnp.where(rz != 0, rz, one), zero)
+        beta = beta * ok * jnp.isfinite(beta).astype(f32)
+        p = z + to_rows(beta) * p
+        rr = jnp.where(active > 0, rr_new, rr)
+        rz = jnp.where(active > 0, rz_new, rz)
+        return (xh, xl, rh, rl, p, rz, rr, rr_rep, it + 1, counts + active)
+
+    z0 = precond(rh0)
+    state = (xh0, xl0, rh0, rl0, z0, dots(rh0, z0), rr0, rr0,
+             jnp.int32(0), jnp.zeros((1, BS), f32))
+    out = jax.lax.while_loop(cond, body, state)
+    xh_f, xl_f = out[0], out[1]
+    counts = out[9]
+    # one FINAL unconditional replacement: the loop gated on the recurrence
+    # residual (drifted by <= ~the last drop window); the exit values are
+    # certified against the compensated TRUE residual — same contract as
+    # the dd round kernel, one extra dd stencil pass per solve
+    ah_f, _ = dd_resid(xh_f, xl_f)
+    rr_f = norm2(ah_f)
+    xh_out[0] = xh_f
+    xl_out[0] = xl_f
+    rt_out[0] = to_rows((rr_f > t2).astype(f32)) * ah_f
+    rr_out[0] = rr_f
+    it_ref[0] = counts.astype(jnp.int32)
 
 
 class Prepared2L(NamedTuple):
@@ -809,6 +999,86 @@ def cg_2l_prepared(
     if blocked_io:
         return out, its.reshape(BP)[:B]
     return unpack_fine(out, dims), its.reshape(BP)[:B]
+
+
+def cg_2l_dd_prepared(
+    prep: Prepared2L,
+    prepdd,
+    dims: tuple,
+    t2bb: jnp.ndarray,
+    xh0: jnp.ndarray,
+    xl0: jnp.ndarray,
+    maxiter: int = 256,
+    interpret: bool = False,
+    deg: int = 3,
+    lmin: float | None = None,
+    lmax: float = 2.0,
+    dc: int = 8,
+    clmin: float = 0.03,
+    clmax: float = 2.05,
+    strides: tuple[int, int] | None = None,
+    rep_drop: float = 0.03,
+):
+    """Run the dd-state residual-replacement kernel against prepared
+    operands (packed-fine layout ONLY — ``dims[10] > 0``).
+
+    ``prep``/``prepdd`` must share ``dims`` (in the fused build path they
+    alias the same PackedOperands arrays).  ``t2bb`` ``(B,)`` are ABSOLUTE
+    original-space squared thresholds (``tol^2 ||b||^2``); ``xh0/xl0`` the
+    blocked dd warm-start state (zeros for a cold solve).
+
+    Returns ``(xh, xl, rt, rr, iterations)``: blocked dd solution state,
+    the masked TRUE-residual rhs for a straggler phase, per-sample true
+    squared norms, and per-sample OUTER iteration counts (each outer costs
+    ``deg + 1`` fine matvecs plus the dd axpys; replacements add ~15
+    matvec-equivalents each, ~log(1/rep_drop) decades apart)."""
+    B, nr, nc, BS, H, W, Hc, Wc, BP = dims[:9]
+    Wcp = dims[9] if len(dims) > 9 else 0
+    Wf = dims[10] if len(dims) > 10 else 0
+    if not (Wf and Wcp):
+        raise ValueError("cg_2l_dd_prepared requires the packed-fine layout")
+    if lmin is None:
+        if strides is None:
+            raise ValueError("cg_2l_dd_prepared needs `strides` or `lmin`")
+        lmin = default_fine_window((nr, nc), strides)[0]
+    # padded samples: threshold inf so they always read as converged
+    t2 = jnp.pad(t2bb.astype(jnp.float32), (0, BP - B),
+                 constant_values=jnp.inf).reshape(BP // BS, 1, BS)
+
+    fshape = (1, H, W)
+    fspec = pl.BlockSpec(fshape, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, Hc, Wc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, 1, BS), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def smat(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    fsd = jax.ShapeDtypeStruct((BP // BS, H, W), jnp.float32)
+    vsd = lambda dt: jax.ShapeDtypeStruct((BP // BS, 1, BS), dt)  # noqa: E731
+    with jax.enable_x64(False):
+        xh, xl, rt, rr, its = pl.pallas_call(
+            functools.partial(
+                _pcg_2l_dd_kernel, maxiter=maxiter, BS=BS, H=H, deg=deg,
+                lmin=float(lmin), lmax=float(lmax), dc=dc,
+                clmin=float(clmin), clmax=float(clmax), Wf=Wf,
+                rep_drop2=float(rep_drop) ** 2,
+            ),
+            grid=(BP // BS,),
+            in_specs=[fspec] * 12 + [cspec] * 9 + [vspec]
+            + [smat(prep.Rrow), smat(prep.RrowT), smat(prep.Ccol),
+               smat(prep.CcolT)] + [fspec] * 2,
+            out_specs=(fspec, fspec, fspec, vspec, vspec),
+            out_shape=(fsd, fsd, fsd, vsd(jnp.float32), vsd(jnp.int32)),
+            compiler_params=tpu_compiler_params(),
+            interpret=interpret,
+        )(prepdd.wEh, prepdd.wEl, prepdd.wWh, prepdd.wWl, prepdd.wSh,
+          prepdd.wSl, prepdd.wNh, prepdd.wNl, prepdd.bth, prepdd.btl,
+          prepdd.diag, prep.dh, prep.sg, *prep.cbands, t2,
+          prep.Rrow, prep.RrowT, prep.Ccol, prep.CcolT, xh0, xl0)
+    return xh, xl, rt, rr.reshape(BP)[:B], its.reshape(BP)[:B]
 
 
 @functools.partial(

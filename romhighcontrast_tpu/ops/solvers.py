@@ -465,9 +465,9 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     from romhighcontrast_tpu.ops import dd
     from romhighcontrast_tpu.ops import twolevel as tl
     from romhighcontrast_tpu.ops.pallas_cg_2l import (
-        Prepared2L, cg_2l_prepared, coarse_prep, fine_dims,
-        fine_from_samples, fine_to_samples, pack_fine, plan_2l, prepare_2l,
-        unpack_fine,
+        Prepared2L, cg_2l_dd_prepared, cg_2l_prepared, coarse_prep,
+        fine_dims, fine_from_samples, fine_to_samples, pack_fine, plan_2l,
+        prepare_2l, unpack_fine,
     )
     from romhighcontrast_tpu.ops.pallas_dd_round import (
         DDOperands, PreparedDD, build_dd_packed, build_dd_scaled,
@@ -514,6 +514,18 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     # asks (floor inner_tol = 3e-6) stay far above the measured mesh-64
     # deep-ask instability (~1e-11), so the 2l inner is safe here.
     phase_b_inner = str(_opts.pop("phase_b_inner", "v2"))
+    # phase-A engine: "rounds" (restart-based refinement rounds — the
+    # historical default) or "dd" (ONE two-level kernel carrying dd x/r
+    # state with in-kernel residual replacement, ops/pallas_cg_2l.
+    # _pcg_2l_dd_kernel).  The restart scheme's per-round TRUE contraction
+    # floors at ~eps32*kappa (grows ~mesh^2: extra rounds at fine meshes);
+    # the dd kernel has no such floor and converges at ideal-CG iteration
+    # counts (numpy prototype scripts/proto_dd_rr.py: mesh 64 1262 its vs
+    # 2958 for the restart scheme).  Requires the packed-fine layout and
+    # no third level; falls back to "rounds" where unsupported.
+    phase_a = str(_opts.pop("phase_a", "rounds"))
+    dd_maxiter = int(_opts.pop("dd_maxiter", 256))
+    rep_drop = float(_opts.pop("rep_drop", 0.03))
     # compact-phase hand-off size.  128 is the measured optimum at the
     # paper config (256/384 ran 8-14% slower — top-k gather and compact
     # prep grow with K while masked full-batch rounds already exit at
@@ -781,17 +793,36 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                                       t2s, interpret=interpret,
                                       blocked_state=True, d_blocked=True)
 
-    state = (xh0, xl0, rt0, rr0, jnp.int32(0), jnp.zeros((B,), jnp.int32),
-             jnp.zeros((B,), f32), jnp.full((B,), jnp.inf, f32))
     K = phase_b_k
     phase_b = B >= 2 * K and max_rounds > 2
-    bodyA = make_body(False, wt_s, prepdd0, dims0, t2s, prep2lX=prep2l0,
-                      blocked=True)
-    state = lax.while_loop(
-        round_cond(t2s, max_rounds, until_few=K if phase_b else 0),
-        bodyA, state,
-    )
-    xh, xl, rt, rr, rounds, iters, key, prev_rr = state
+    if phase_a == "dd" and bool(dims0[10]) and prep2l0.sg2 is None:
+        # ONE dd-state kernel to the final tolerance: no restart rounds,
+        # no per-round dd passes; phases B/C below stay as mop-up for
+        # samples the divergence guard froze or maxiter cut off
+        opts_a = dict(inner_opts)
+        kd = {k: opts_a[k] for k in ("deg", "lmin", "lmax", "dc", "clmin",
+                                     "clmax") if k in opts_a}
+        xh, xl, rt, rr, its_a = cg_2l_dd_prepared(
+            prep2l0, prepdd0, dims0, t2s, xh0, xl0, maxiter=dd_maxiter,
+            interpret=interpret, strides=strides, rep_drop=rep_drop, **kd)
+        # per-sample matvec-equivalents (replacements, ~15 mv-equiv each
+        # and ~log(1/rep_drop)-decades apart, ride the same estimate
+        # class as the rounds path's uncounted dd_round passes)
+        iters = mv2l * its_a
+        rounds = jnp.int32(1)
+        key = its_a.astype(f32)
+        prev_rr = rr0
+    else:
+        state = (xh0, xl0, rt0, rr0, jnp.int32(0),
+                 jnp.zeros((B,), jnp.int32), jnp.zeros((B,), f32),
+                 jnp.full((B,), jnp.inf, f32))
+        bodyA = make_body(False, wt_s, prepdd0, dims0, t2s, prep2lX=prep2l0,
+                          blocked=True)
+        state = lax.while_loop(
+            round_cond(t2s, max_rounds, until_few=K if phase_b else 0),
+            bodyA, state,
+        )
+        xh, xl, rt, rr, rounds, iters, key, prev_rr = state
 
     if phase_b:
         _, idx = lax.top_k(rr / t2s, K)

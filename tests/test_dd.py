@@ -151,6 +151,56 @@ def test_phased_dd_driver_matches_oracle_high_contrast():
         assert err / np.max(np.abs(ref)) < 1e-9, (k, err)
 
 
+def test_dd_phase_a_kernel_matches_oracle_and_rounds():
+    """The dd-state residual-replacement phase A (``phase_a="dd"`` — ONE
+    two-level kernel carrying (hi, lo) x/r with van der Vorst-Ye reliable
+    updates, ops/pallas_cg_2l._pcg_2l_dd_kernel) must deliver the same
+    f64-accuracy class as the restart-round driver, with an HONEST exit
+    residual (a final unconditional replacement certifies against the
+    compensated true residual)."""
+    from oracle import FemOracle
+
+    space = FemSpace((2, 2), 8)
+    oracle = FemOracle((2, 2), 8)
+    a = np.ones((5, 2, 2))
+    a[0, 0, 0] = INFINIT_A
+    a[1, 0, 1] = 1e8
+    a[2, 1, 0] = 1e4
+    a[3, 1, 1] = 37.0
+    w = space.weights(jnp.asarray(a))
+    b = jnp.broadcast_to(
+        space.load.reshape(space.grid_shape), (5,) + space.grid_shape
+    )
+    x, info = solvers.solve_pcg_mixed(w, b, tol=1e-11, inner="pallas_2l",
+                                      inner_opts=(("phase_a", "dd"),))
+    assert float(info.relative_residual.max()) < 1e-10
+    # unified PCGInfo contract: per-sample i32 matvec-equivalents
+    assert info.iterations.shape == (5,)
+    assert info.iterations.dtype == jnp.int32
+    assert int(info.iterations.min()) > 0
+    for k in range(5):
+        ref = oracle.solve(a[k])
+        err = np.max(np.abs(np.asarray(x[k]).ravel() - ref))
+        assert err / np.max(np.abs(ref)) < 1e-9, (k, err)
+
+
+def test_dd_phase_a_warm_start_converges():
+    """phase_a="dd" with a warm start x0 (the greedy builder's path) must
+    refine it to tolerance, not restart from zero — iteration counts must
+    be below the cold solve's."""
+    space, w, b = _problem()
+    x_cold, info_cold = solvers.solve_pcg_mixed(
+        w, b, tol=1e-11, inner="pallas_2l",
+        inner_opts=(("phase_a", "dd"),))
+    # perturb the converged solution slightly: a good warm start
+    x0 = x_cold * (1.0 + 1e-6)
+    x_warm, info_warm = solvers.solve_pcg_mixed(
+        w, b, tol=1e-11, inner="pallas_2l", x0=x0,
+        inner_opts=(("phase_a", "dd"),))
+    assert float(info_warm.relative_residual.max()) < 1e-10
+    assert int(info_warm.iterations.max()) < int(info_cold.iterations.max())
+
+
 def test_dd_gaussian_elimination_eager():
     """The unrolled dd elimination must match the f64 Cholesky solution on
     contrast-sized reduced systems (eager: XLA:CPU's jit optimizer is
