@@ -79,7 +79,8 @@ def auto_block_size_2l(H: int, W: int) -> int:
     return bs
 
 
-def auto_block_size_packed(H: int, nc: int, m1r: int, m1c: int) -> int:
+def auto_block_size_packed(H: int, nc: int, m1r: int, m1c: int,
+                           dd_cg: bool = False) -> int:
     """Samples per block for the LANE-PACKED fine layout: all BS samples
     share one ``(H, Lf)`` array at lane pitch ``Wf = nc + 1``.
 
@@ -112,6 +113,13 @@ def auto_block_size_packed(H: int, nc: int, m1r: int, m1c: int) -> int:
         Lc = _round_up(bs * (m1c + 1), 128)
         est = (34 * H * Lf + 2 * Lf * Lc + 14 * Hc * Lc + 2 * Hc * H) * 4
         est_dd = 40 * H * Lf * 4
+        if dd_cg:
+            # the dd-STATE CG kernel (_pcg_2l_dd_kernel) carries x/r as
+            # (hi, lo) pairs plus 12 double-buffered dd operand windows:
+            # measured 159.28 MB scoped VMEM (~76 H x Lf buffers, 88.99 MB
+            # of it register-allocator spill) at H=256, Lf=2048 on v5e —
+            # model it at 80 buffers
+            est_dd = max(est_dd, 80 * H * Lf * 4)
         if max(est, est_dd) > VMEM_BUDGET_BYTES or Lf > 2048:
             continue
         frac = (Lf - bs * Wf) / Lf
@@ -509,7 +517,7 @@ def _pcg_2l_dd_kernel(wEh_ref, wEl_ref, wWh_ref, wWl_ref, wSh_ref, wSl_ref,
                       xh_out, xl_out, rt_out, rr_out, it_ref, *,
                       maxiter: int, BS: int, H: int, deg: int, lmin: float,
                       lmax: float, dc: int, clmin: float, clmax: float,
-                      Wf: int, rep_drop2: float):
+                      Wf: int, rep_drop2: float, rep_restart: bool):
     """Two-level PCG with DOUBLE-F32 solution/residual state and in-kernel
     residual REPLACEMENT (van der Vorst & Ye 2000 reliable updates).
 
@@ -653,6 +661,15 @@ def _pcg_2l_dd_kernel(wEh_ref, wEl_ref, wWh_ref, wWl_ref, wSh_ref, wSl_ref,
         beta = active * jnp.where(rz != 0,
                                   rz_new / jnp.where(rz != 0, rz, one), zero)
         beta = beta * ok * jnp.isfinite(beta).astype(f32)
+        if rep_restart:
+            # restart the DIRECTION at replacement points (p = z on the
+            # triggered lanes): each replacement becomes a refinement-round
+            # boundary WITHOUT leaving the kernel — a fresh Krylov process
+            # on the compensated residual, curing the f32 conjugacy-loss
+            # plateau measured on high-kappa stragglers (mesh 40 max 3052
+            # mv vs 716 under restart rounds, sweep_r4e) at the cost of the
+            # ideal-CG counts the keep-beta variant gets on easy samples
+            beta = beta * (one - trig)
         p = z + to_rows(beta) * p
         rr = jnp.where(active > 0, rr_new, rr)
         rz = jnp.where(active > 0, rz_new, rz)
@@ -711,7 +728,8 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
                block_size: int | None = None, packed_coarse: bool = False,
                packed_fine: bool = False,
                coarse2: tl.CoarseOperator | None = None,
-               stride2: tuple[int, int] | None = None):
+               stride2: tuple[int, int] | None = None,
+               dd_cg: bool = False):
     """Pad/block the round-invariant operands.  Returns ``(prep, dims)``
     with ``dims = (B, nr, nc, BS, H, W, Hc, Wc, BP, Wcp, Wf)`` (python
     ints — pass them as static arguments to :func:`cg_2l_prepared`).
@@ -736,7 +754,8 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
     B, nr, nc = dh.shape
     m1r, m1c = coarse.sg.shape[-2:]
     dims = plan_2l(B, nr, nc, m1r, m1c, block_size=block_size,
-                   packed_coarse=packed_coarse, packed_fine=packed_fine)
+                   packed_coarse=packed_coarse, packed_fine=packed_fine,
+                   dd_cg=dd_cg)
 
     def padf(x):
         return pack_fine(x, dims)
@@ -768,10 +787,13 @@ def prepare_2l(wt: st.StencilCoefficients, dh: jnp.ndarray,
 
 def plan_2l(B: int, nr: int, nc: int, m1r: int, m1c: int,
             block_size: int | None = None, packed_coarse: bool = False,
-            packed_fine: bool = False) -> tuple:
+            packed_fine: bool = False, dd_cg: bool = False) -> tuple:
     """Layout planning only (no array work): the dims tuple for the given
     problem/coarse sizes — shared by :func:`prepare_2l` and the fused
-    operand-build path (pallas_dd_round.build_dd_packed)."""
+    operand-build path (pallas_dd_round.build_dd_packed).
+
+    ``dd_cg``: size blocks for the dd-state CG kernel's ~2x live-state
+    footprint (see :func:`auto_block_size_packed`)."""
     H = _round_up(nr + 1, 8)
     Hc = _round_up(m1r + 1, 8)
     Wc = _round_up(m1c + 1, 128)
@@ -780,8 +802,8 @@ def plan_2l(B: int, nr: int, nc: int, m1r: int, m1c: int,
     if packed_fine:
         packed_coarse = True
         Wf = nc + 1
-        BS = (auto_block_size_packed(H, nc, m1r, m1c) if block_size is None
-              else block_size)
+        BS = (auto_block_size_packed(H, nc, m1r, m1c, dd_cg=dd_cg)
+              if block_size is None else block_size)
         W = _round_up(BS * Wf, 128)
     else:
         Wf = 0
@@ -1018,9 +1040,14 @@ def cg_2l_dd_prepared(
     clmax: float = 2.05,
     strides: tuple[int, int] | None = None,
     rep_drop: float = 0.03,
+    rep_restart: bool = False,
 ):
     """Run the dd-state residual-replacement kernel against prepared
     operands (packed-fine layout ONLY — ``dims[10] > 0``).
+
+    ``rep_restart``: restart the CG direction (p = z) on lanes that just
+    replaced their residual — in-kernel refinement-round boundaries (see
+    the kernel docstring).
 
     ``prep``/``prepdd`` must share ``dims`` (in the fused build path they
     alias the same PackedOperands arrays).  ``t2bb`` ``(B,)`` are ABSOLUTE
@@ -1065,6 +1092,7 @@ def cg_2l_dd_prepared(
                 lmin=float(lmin), lmax=float(lmax), dc=dc,
                 clmin=float(clmin), clmax=float(clmax), Wf=Wf,
                 rep_drop2=float(rep_drop) ** 2,
+                rep_restart=bool(rep_restart),
             ),
             grid=(BP // BS,),
             in_specs=[fspec] * 12 + [cspec] * 9 + [vspec]

@@ -505,8 +505,10 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     build = str(_opts.pop("build", "kernel"))
     block_size = _opts.pop("block_size", None)
     # phase-B inner: "v2" (single-level deg-12 straggler dig — the round-3
-    # default) or "2l" (compact TWO-LEVEL subproblem over the gathered
-    # stragglers).  The v2 choice dated from the 2l kernel's ~3e-9 TRUE-
+    # default), "2l" (compact TWO-LEVEL subproblem over the gathered
+    # stragglers), or "dd" (ONE dd-state kernel launch over the compact
+    # subproblem with in-kernel restart-at-replacement rounds; packed-fine
+    # layouts only, falls back to "2l" otherwise).  The v2 choice dated from the 2l kernel's ~3e-9 TRUE-
     # delivery floor at mesh >= 40, which the r4 retune removed
     # (scripts/probe_2l_floor_tpu.py) — and the single-level dig's
     # iteration count grows with mesh (its Chebyshev window narrows as
@@ -525,7 +527,17 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     # no third level; falls back to "rounds" where unsupported.
     phase_a = str(_opts.pop("phase_a", "rounds"))
     dd_maxiter = int(_opts.pop("dd_maxiter", 256))
+    # phase-A dd outer budget: the full-batch dd pass has no "until_few"
+    # hand-off (blocks are independent), so its maxiter IS the hand-off to
+    # the compact phases — keep it separate from the compact dig's budget
+    dd_maxiter_a = int(_opts.pop("dd_maxiter_a", dd_maxiter))
     rep_drop = float(_opts.pop("rep_drop", 0.03))
+    # restart the dd kernel's CG direction at replacement points: in-kernel
+    # refinement-round boundaries.  Measured necessary for the straggler
+    # tail (keep-beta dd plateaus on high-kappa samples: mesh 40 max 3052
+    # mv vs 716 under restart rounds, sweep_r4e) — default ON; the
+    # keep-beta ideal-CG variant stays as a sweepable knob.
+    rep_restart = bool(_opts.pop("rep_restart", True))
     # compact-phase hand-off size.  128 is the measured optimum at the
     # paper config (256/384 ran 8-14% slower — top-k gather and compact
     # prep grow with K while masked full-batch rounds already exit at
@@ -559,7 +571,7 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         m1r = tl.hat_matrix(nr, strides[0]).shape[0]
         m1c = tl.hat_matrix(nc, strides[1]).shape[0]
         dims0 = plan_2l(B, nr, nc, m1r, m1c, block_size=block_size,
-                        packed_fine=True)
+                        packed_fine=True, dd_cg=phase_a == "dd")
         fused = bool(dims0[10])  # plan may fall back to the stacked layout
 
     # NO global difficulty sort: full-batch rounds keep every block active
@@ -638,7 +650,8 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                                     coarse2=coarse2, stride2=stride2,
                                     block_size=block_size,
                                     packed_coarse=packed_coarse,
-                                    packed_fine=packed_fine)
+                                    packed_fine=packed_fine,
+                                    dd_cg=phase_a == "dd")
         prepdd0 = prepare_dd(ops_s, dims0)
     if "deg" not in dict(inner_opts):
         if len(dims0) > 10 and dims0[10]:
@@ -803,8 +816,9 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         kd = {k: opts_a[k] for k in ("deg", "lmin", "lmax", "dc", "clmin",
                                      "clmax") if k in opts_a}
         xh, xl, rt, rr, its_a = cg_2l_dd_prepared(
-            prep2l0, prepdd0, dims0, t2s, xh0, xl0, maxiter=dd_maxiter,
-            interpret=interpret, strides=strides, rep_drop=rep_drop, **kd)
+            prep2l0, prepdd0, dims0, t2s, xh0, xl0, maxiter=dd_maxiter_a,
+            interpret=interpret, strides=strides, rep_drop=rep_drop,
+            rep_restart=rep_restart, **kd)
         # per-sample matvec-equivalents (replacements, ~15 mv-equiv each
         # and ~log(1/rep_drop)-decades apart, ride the same estimate
         # class as the rounds path's uncounted dd_round passes)
@@ -841,19 +855,21 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
             )
         else:
             opsK = gather_dd(ops_s, idx)
-        if phase_b_inner == "2l":
+        if phase_b_inner in ("2l", "dd"):
             # compact TWO-LEVEL subproblem: re-prep the gathered samples
             # for the 2l kernel (the coarse operands are already assembled
             # for the full batch — normalize-then-gather == gather-then-
             # normalize since both are per-sample).  One dims plan serves
             # the inner kernel and the dd round (shared layout contract).
+            # The dd variant sizes blocks for the dd CG kernel's ~2x live
+            # state (dd_cg).
             dhK = gp(Kb.dh) if fused else dh3[idx]
             coarseK = tl.CoarseOperator(bands=coarse.bands[idx],
                                         sg=coarse.sg[idx])
             prep2lK, dimsK = prepare_2l(
                 hi_weights(opsK), dhK, coarseK, strides,
                 block_size=block_size, packed_coarse=packed_coarse,
-                packed_fine=packed_fine,
+                packed_fine=packed_fine, dd_cg=phase_b_inner == "dd",
             )
         else:
             prep2lK = None
@@ -869,13 +885,47 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         stK = (gather_block(xh), gather_block(xl), gather_block(rt),
                rr[idx], rounds, iters[idx], key[idx],
                jnp.full((K,), jnp.inf, f32))
-        if phase_b_inner == "2l":
-            bodyK = make_body(False, None, prepddK, dimsK, t2K,
-                              prep2lX=prep2lK)
+        if phase_b_inner == "dd" and bool(dimsK[10]):
+            # compact dd-state dig: ONE kernel launch to the final
+            # tolerance, with in-kernel restart-at-replacement round
+            # boundaries (rep_restart) — spends the restart scheme's
+            # per-round dd_round pass (~15 mv/sample) and kernel relaunch
+            # exactly where rounds are many (the f32 round-contraction
+            # floor grows ~mesh^2, so the compact stragglers at fine
+            # meshes pay the most rounds — ROADMAP r4 item 7)
+            BPK, HK, WfK = dimsK[8], dimsK[4], dimsK[10]
+            padK = ((0, BPK - K), (0, HK - nr0), (0, WfK - nc0))
+
+            def pack_K(xs):
+                return fine_from_samples(jnp.pad(xs, padK), dimsK)
+
+            opts_b = dict(inner_opts)
+            kd = {k: opts_b[k] for k in ("deg", "lmin", "lmax", "dc",
+                                         "clmin", "clmax") if k in opts_b}
+            xhK, xlK, rtK, rrK, itsK = cg_2l_dd_prepared(
+                prep2lK, prepddK, dimsK, t2K, pack_K(stK[0]),
+                pack_K(stK[1]), maxiter=dd_maxiter, interpret=interpret,
+                strides=strides, rep_drop=rep_drop,
+                rep_restart=rep_restart, **kd)
+
+            def unpack_K(xb):
+                return fine_to_samples(xb, dimsK)[:K, :nr0, :nc0]
+
+            stK = (unpack_K(xhK), unpack_K(xlK), unpack_K(rtK), rrK,
+                   rounds + jnp.int32(1), stK[5] + mv2l * itsK,
+                   itsK.astype(f32))
         else:
-            bodyK = make_body(True, hi_weights(opsK), prepddK, dimsK, t2K)
-        stK = lax.while_loop(round_cond(t2K, rounds + max_rounds), bodyK,
-                             stK)
+            if phase_b_inner in ("2l", "dd"):
+                # dd falls back to the restart-rounds compact 2l dig when
+                # the layout fell back to stacked (the dd kernel is
+                # packed-fine only)
+                bodyK = make_body(False, None, prepddK, dimsK, t2K,
+                                  prep2lX=prep2lK)
+            else:
+                bodyK = make_body(True, hi_weights(opsK), prepddK, dimsK,
+                                  t2K)
+            stK = lax.while_loop(round_cond(t2K, rounds + max_rounds),
+                                 bodyK, stK)
 
         def scatter_block(xb, xs):
             flat = fine_to_samples(xb, dims0)

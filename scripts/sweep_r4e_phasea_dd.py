@@ -1,0 +1,111 @@
+"""Round-4e sweep: phase-A engine A/B — restart rounds vs dd-state kernel.
+
+58c5ba01 added ``phase_a="dd"``: ONE two-level PCG kernel carrying dd x/r
+state with in-kernel residual replacement, instead of the restart-based
+refinement rounds.  The numpy prototype (scripts/proto_dd_rr.py) shows
+mesh 64 reaching true 1e-11 in 1262 iterations vs 2958 for the restart
+scheme (the f32 per-round contraction floor grows ~mesh^2).  This sweep
+decides the default on hardware:
+
+- mesh 64 / BS as default: the target (straggler tail dominated by the
+  restart floor, ROADMAP r4 item 7);
+- mesh 40: the mid point;
+- mesh 20 paper config: the guard (must not regress the 39.7k line).
+
+Variants at mesh 64 cover rep_drop (replacement trigger) and dd_maxiter.
+
+Run:  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/sweep_r4e_phasea_dd.py
+"""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def bench_cfg(space, a, opts, tol=1e-10, reps=2):
+    def rep():
+        return space.solve(a, method="pallas", tol=tol, inner_opts=opts)
+
+    t0 = time.time()
+    acc = [jnp.sum(rep()) for _ in range(reps)]
+    float(sum(acc))
+    return len(a) * reps / (time.time() - t0)
+
+
+def gate(space, a, opts, tol=1e-10):
+    from romhighcontrast_tpu.ops import stencil as st
+
+    sols, info = space.solve(a, method="pallas", tol=tol, inner_opts=opts,
+                             return_info=True)
+    w = space.weights(a)
+    r = space.load[None, :] - st.apply_operator_flat(w, sols,
+                                                     space.grid_shape)
+    rel = float(jnp.max(jnp.linalg.norm(r, axis=-1)
+                        / jnp.linalg.norm(space.load)))
+    it = np.asarray(info.iterations)
+    return rel, float(it.mean()), float(np.median(it)), int(it.max())
+
+
+def sweep(mesh_n, n_samples, cfgs, passes=4, tol=1e-10):
+    from romhighcontrast_tpu.benchmarks import _paper_problem
+
+    space, a = _paper_problem(mesh_n, n_samples)
+    a = jnp.asarray(a)
+    log(f"mesh {mesh_n}: dim {space.vspace_dim}, {n_samples} samples")
+    ok = {}
+    for name, opts in cfgs.items():
+        try:
+            t0 = time.time()
+            rel, itm, itd, itx = gate(space, a, opts, tol=tol)
+            ok[name] = rel < 1e-9
+            log(f"  {name}: residual {rel:.2e} "
+                f"{'OK' if ok[name] else 'FAIL'} "
+                f"it mean/med/max {itm:.0f}/{itd:.0f}/{itx} "
+                f"(first call {time.time() - t0:.0f}s)")
+        except Exception as e:
+            ok[name] = False
+            log(f"  {name}: EXC {type(e).__name__}: {str(e)[:200]}")
+    results = {name: [] for name in cfgs}
+    for p in range(passes):
+        for name, opts in cfgs.items():
+            if not ok[name]:
+                continue
+            results[name].append(bench_cfg(space, a, opts, tol=tol))
+        log(f"  pass {p}: " + ", ".join(
+            f"{n}={results[n][-1]:.0f}/s" for n in results if results[n]))
+    for name in results:
+        if results[name]:
+            med = float(np.median(results[name]))
+            log(f"  RESULT mesh{mesh_n} {name}: median {med:.0f} solves/s "
+                f"({[round(v) for v in results[name]]})")
+    return results
+
+
+def main():
+    log("devices:", jax.devices())
+    DD = ("phase_a", "dd")
+    sweep(64, 512, {
+        "rounds": (),
+        "dd": (DD,),
+        "dd_rep01": (DD, ("rep_drop", 0.01)),
+        "dd_rep10": (DD, ("rep_drop", 0.10)),
+        "dd_mi384": (DD, ("dd_maxiter", 384)),
+    }, passes=4)
+    sweep(40, 512, {
+        "rounds": (),
+        "dd": (DD,),
+    }, passes=4)
+    # paper-config guard: must not regress the 39.7k suite line
+    sweep(20, 1000, {
+        "rounds": (),
+        "dd": (DD,),
+    }, passes=4)
+
+
+if __name__ == "__main__":
+    main()

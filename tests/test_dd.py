@@ -6,6 +6,7 @@ the kernel's residual evaluation against f64 ground truth at the
 near-converged scale (where it must still resolve ~1e-13 relative)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -151,13 +152,16 @@ def test_phased_dd_driver_matches_oracle_high_contrast():
         assert err / np.max(np.abs(ref)) < 1e-9, (k, err)
 
 
-def test_dd_phase_a_kernel_matches_oracle_and_rounds():
+@pytest.mark.parametrize("rep_restart", [True, False])
+def test_dd_phase_a_kernel_matches_oracle_and_rounds(rep_restart):
     """The dd-state residual-replacement phase A (``phase_a="dd"`` — ONE
     two-level kernel carrying (hi, lo) x/r with van der Vorst-Ye reliable
     updates, ops/pallas_cg_2l._pcg_2l_dd_kernel) must deliver the same
     f64-accuracy class as the restart-round driver, with an HONEST exit
     residual (a final unconditional replacement certifies against the
-    compensated true residual)."""
+    compensated true residual) — in both direction modes (``rep_restart``:
+    restart p = z at replacement points — the default — vs keep-beta
+    ideal-CG continuation)."""
     from oracle import FemOracle
 
     space = FemSpace((2, 2), 8)
@@ -171,8 +175,9 @@ def test_dd_phase_a_kernel_matches_oracle_and_rounds():
     b = jnp.broadcast_to(
         space.load.reshape(space.grid_shape), (5,) + space.grid_shape
     )
-    x, info = solvers.solve_pcg_mixed(w, b, tol=1e-11, inner="pallas_2l",
-                                      inner_opts=(("phase_a", "dd"),))
+    x, info = solvers.solve_pcg_mixed(
+        w, b, tol=1e-11, inner="pallas_2l",
+        inner_opts=(("phase_a", "dd"), ("rep_restart", rep_restart)))
     assert float(info.relative_residual.max()) < 1e-10
     # unified PCGInfo contract: per-sample i32 matvec-equivalents
     assert info.iterations.shape == (5,)

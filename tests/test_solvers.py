@@ -93,12 +93,13 @@ def test_pallas_interpret_matches_xla(inner, problem):
                                atol=1e-12)
 
 
-@pytest.mark.parametrize("pbi", ["v2", "2l"])
+@pytest.mark.parametrize("pbi", ["v2", "2l", "dd"])
 def test_phase_b_inner_variants_reach_accuracy(pbi, problem):
     """The compact straggler phase must reach the asked tolerance with
-    either inner kernel (``phase_b_inner="v2"`` — the single-level dig —
-    or ``"2l"`` — the compact two-level subproblem added in round 4 for
-    fine meshes).  Phase B is forced to engage by mixing a few stiff
+    any inner kernel (``phase_b_inner="v2"`` — the single-level dig —
+    ``"2l"`` — the compact two-level subproblem added in round 4 for
+    fine meshes — or ``"dd"`` — the one-launch dd-state dig with
+    in-kernel restart-at-replacement rounds).  Phase B is forced to engage by mixing a few stiff
     samples into a batch of zero-rhs samples (zero-rhs converges at round
     zero, so after two rounds the unconverged count is <= phase_b_k and
     phase A hands off)."""
