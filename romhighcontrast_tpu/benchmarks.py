@@ -58,16 +58,22 @@ def _paper_problem(mesh_n, n_samples, method="mixed"):
 def _timed_burst(fn, reps):
     """Mean seconds per rep: enqueue all reps async, force the chain with one
     scalar readback (sum of per-rep checksums — not full arrays, which would
-    crowd HBM at the fine-mesh configs)."""
+    crowd HBM at the fine-mesh configs).
+
+    The checksums are combined with ONE stack+sum dispatch: a Python
+    ``sum(acc)`` issues ``reps - 1`` eager adds at ~1-2 ms tunnel latency
+    each (measured 2026-08-19: an empty-program burst cost 41 ms of pure
+    harness — ~16 ms eager adds + ~25 ms value readback — inflating the
+    paper-config line by ~12% at reps=10)."""
     import jax.numpy as jnp
 
     t0 = time.time()
     acc = [jnp.sum(fn()) for _ in range(reps)]
-    float(sum(acc))
+    float(jnp.sum(jnp.stack(acc)))
     return (time.time() - t0) / reps
 
 
-def bench_snapshot(mesh_n, n_samples, tol, method, reps=10, emit=True,
+def bench_snapshot(mesh_n, n_samples, tol, method, reps=30, emit=True,
                    metric=None, with_baseline=True):
     """FOM snapshot-solve throughput; residual-gated (<1e-9) or the line
     reports value 0."""
@@ -203,10 +209,10 @@ def main(argv=None):
 
     if "--suite" in argv:
         bench_snapshot(20, n_samples, tol, method)
-        bench_snapshot(40, n_samples, tol, method, reps=4,
+        bench_snapshot(40, n_samples, tol, method, reps=16,
                        metric="snapshot_solves_per_sec_mesh40",
                        with_baseline=False)
-        bench_snapshot(64, min(n_samples, 512), tol, method, reps=2,
+        bench_snapshot(64, min(n_samples, 512), tol, method, reps=8,
                        metric="snapshot_solves_per_sec_mesh64",
                        with_baseline=False)
         bench_online()

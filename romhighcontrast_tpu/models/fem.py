@@ -41,7 +41,15 @@ def _solve_mixed_from_a(a, rhs, N, grid_shape, tol, inner, inner_tol=None,
 
     rhs: either the shared load vector ``(dim,)`` or per-sample right-hand
     sides ``batch + (dim,)``."""
-    if a.dtype == jnp.float64:
+    if inner == "pallas_2l" and min(grid_shape) >= 5:
+        # hot path: the phased driver builds everything from the block
+        # coefficients (a_blocks) — passing w=None keeps the f64 weight
+        # build and symmetrize OUT of the traced graph entirely instead of
+        # relying on XLA dead-code elimination, which is shape-dependent
+        # (measured 2026-08-19: a 250-sample compile kept ~21 ms/batch of
+        # dead weight work that the 1000-sample compile eliminated)
+        w = None
+    elif a.dtype == jnp.float64:
         # f32-expansion + two-sum build: ~8 ms/1000 samples cheaper than
         # the naive emulated-f64 path (see stencil.stencil_weights_split)
         w = st.stencil_weights_split(a, N)
@@ -255,6 +263,23 @@ class FemSpace:
                      jnp.zeros((_canon - B0,) + jnp.shape(rhs)[1:],
                                self.dtype)], axis=0)
         if _canon is not None:
+            if interior_clusters is None:
+                # Inspect the ORIGINAL array: jax caches the host copy on
+                # the array object, so repeated solves of the same batch pay
+                # the device->host readback once.  The padded array below is
+                # rebuilt per call — running the cluster check on IT forces
+                # a fresh ~25-30 ms synchronous readback per solve (the
+                # measured 4-14x small-batch cliff, scripts/
+                # probe_batch_cliff.py; pad samples are a=1 and never add
+                # interior clusters).
+                from romhighcontrast_tpu.ops import clusters as cl
+
+                try:
+                    interior_clusters = bool(
+                        cl.has_interior_cluster(np.asarray(a)).any()
+                    )
+                except Exception:
+                    interior_clusters = None  # traced: inner call handles it
             a = jnp.concatenate(
                 [jnp.asarray(a, self.dtype),
                  jnp.ones((_canon - a.shape[0],) + a.shape[1:], self.dtype)],

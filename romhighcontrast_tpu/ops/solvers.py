@@ -551,7 +551,13 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         )
 
     b3 = flat(b)
-    w3 = st.StencilCoefficients(*(flat(v) for v in w))
+    # w is None on the a_blocks path (the fused/EFT builds work straight
+    # from block coefficients); only the legacy weights-only entry needs it
+    w3 = (st.StencilCoefficients(*(flat(v) for v in w))
+          if w is not None else None)
+    if w3 is None and a_blocks is None:
+        raise ValueError("_mixed_2l_phased needs stencil weights or "
+                         "a_blocks")
     B = b3.shape[0]
 
     bnorm2 = jnp.sum(b3 * b3, axis=(-2, -1))
@@ -1032,6 +1038,57 @@ def solve_pcg_mixed(
     removes precisely the components the f32 inner CG amplifies by
     1/lambda.
     """
+    if inner not in ("pallas_2l", "pallas_v2", "pallas", "xla"):
+        raise ValueError(
+            f"Unknown inner solver {inner!r}; expected one of "
+            "['pallas_2l', 'pallas_v2', 'pallas', 'xla']"
+        )
+    if w is None and a_blocks is None:
+        raise ValueError("solve_pcg_mixed needs stencil weights w or "
+                         "a_blocks")
+    grid_shape = (rhs.shape[-2:] if w is None else w.diag.shape[-2:])
+    interpret = jax.default_backend() == "cpu"
+
+    if inner == "pallas_2l" and min(grid_shape) < 5:
+        # no room for a coarse grid; the single-level kernel is optimal at
+        # these sizes anyway
+        inner = "pallas_v2"
+    if inner_tol is None:
+        # For the two-level inner, inner_tol is the FLOOR of the adaptive
+        # per-round tolerance schedule (each round asks each sample for the
+        # digits it still needs, times a 0.3 margin); 3e-6 is reachable for
+        # most samples (measured: +3 outer iterations vs 1e-5) and lets
+        # tol=1e-10 finish in two rounds.  The single-level kernels use a
+        # fixed 1e-4 (they floor too often below that).
+        inner_tol = 3e-6 if inner == "pallas_2l" else 1e-4
+
+    if (inner == "pallas_2l" and inner_dtype == jnp.float32
+            and not (cluster_labels is not None and n_clusters > 0)):
+        # hot path: phased driver (full-batch rounds, then compact
+        # straggler rounds) — see _mixed_2l_phased.  Warm starts (x0) take
+        # the same route: the phased driver's single-level mop-up phases
+        # are what guarantee the TRUE-delivery floor at fine meshes (the 2l
+        # kernel alone floors at ~3e-9 at mesh >= 40).
+        # Dispatched BEFORE any weight-derived graph is traced: with
+        # a_blocks the fused build needs no ``w`` at all (callers pass
+        # w=None), and the f64 symmetrize below must not ride on
+        # shape-dependent dead-code elimination (measured 2026-08-19: a
+        # 250-sample program kept ~21 ms/batch of dead weight-build work
+        # that the 1000-sample compile eliminated).
+        b = (jnp.broadcast_to(rhs, a_blocks.shape[:-2] + grid_shape)
+             if w is None else jnp.broadcast_to(rhs, w.diag.shape))
+        return _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
+                                maxiter_inner, max_rounds, inner_opts,
+                                interpret, x0=x0, a_blocks=a_blocks,
+                                block_N=block_N)
+
+    if w is None:
+        # non-phased paths (xla/v2/legacy inners) operate on explicit
+        # stencil weights: build them from the block coefficients (same
+        # construction the callers used before w became lazy)
+        w = (st.stencil_weights_split(a_blocks, block_N)
+             if a_blocks.dtype == jnp.float64
+             else st.stencil_weights(st.cell_grid(a_blocks, block_N)))
     diag = w.diag
     b = jnp.broadcast_to(rhs, diag.shape)
     wt, s = st.symmetrized_weights(w)
@@ -1059,39 +1116,7 @@ def solve_pcg_mixed(
             jnp.logical_and(jnp.any(unconv), improving), rounds < max_rounds
         )
 
-    if inner not in ("pallas_2l", "pallas_v2", "pallas", "xla"):
-        raise ValueError(
-            f"Unknown inner solver {inner!r}; expected one of "
-            "['pallas_2l', 'pallas_v2', 'pallas', 'xla']"
-        )
     batch = diag.shape[:-2]
-    grid_shape = diag.shape[-2:]
-    interpret = jax.default_backend() == "cpu"
-
-    if inner == "pallas_2l" and min(grid_shape) < 5:
-        # no room for a coarse grid; the single-level kernel is optimal at
-        # these sizes anyway
-        inner = "pallas_v2"
-    if inner_tol is None:
-        # For the two-level inner, inner_tol is the FLOOR of the adaptive
-        # per-round tolerance schedule (each round asks each sample for the
-        # digits it still needs, times a 0.3 margin); 3e-6 is reachable for
-        # most samples (measured: +3 outer iterations vs 1e-5) and lets
-        # tol=1e-10 finish in two rounds.  The single-level kernels use a
-        # fixed 1e-4 (they floor too often below that).
-        inner_tol = 3e-6 if inner == "pallas_2l" else 1e-4
-
-    if (inner == "pallas_2l" and inner_dtype == jnp.float32
-            and not (cluster_labels is not None and n_clusters > 0)):
-        # hot path: phased driver (full-batch rounds, then compact
-        # straggler rounds) — see _mixed_2l_phased.  Warm starts (x0) take
-        # the same route: the phased driver's single-level mop-up phases
-        # are what guarantee the TRUE-delivery floor at fine meshes (the 2l
-        # kernel alone floors at ~3e-9 at mesh >= 40).
-        return _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
-                                maxiter_inner, max_rounds, inner_opts,
-                                interpret, x0=x0, a_blocks=a_blocks,
-                                block_N=block_N)
 
     if inner == "pallas_2l":
         from romhighcontrast_tpu.ops import twolevel as tl

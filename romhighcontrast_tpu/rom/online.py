@@ -19,11 +19,12 @@ The online phase is precompute-once / serve-many:
 
 Suite-measured (TPU v5e, paper config dim 6241, n = 15, batch 1000;
 ``python bench.py --suite`` 2026-08-19, docs/parity/bench_suite_r4.json):
-**278,946 coefficient solves/s, 118,276 lifted solves/s** — the ROM outruns
-the ~39k/s full-order fast path by ~3-8x.  These are the repo's only
-numbers for this path; earlier per-call micro-benchmarks (which skipped the
-per-batch host round-trip the suite includes) quoted 3-4x higher and are
-superseded.
+**124,275 lifted solves/s; coefficient-only a 217-282k/s band** (that burst
+is < 5 ms and tunnel-noise dominated — three same-process repeats spanned
+it while the lifted line stayed within 7%) — the ROM outruns the ~43k/s
+full-order fast path by ~3-6x.  These are the repo's only numbers for this
+path; earlier per-call micro-benchmarks (which skipped the per-batch host
+round-trip the suite includes) quoted 3-4x higher and are superseded.
 """
 
 from __future__ import annotations
