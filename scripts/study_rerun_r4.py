@@ -10,6 +10,7 @@ Run (one long-lived process — every new process repays all remote compiles):
   PYTHONPATH=/root/repo:$PYTHONPATH python scripts/study_rerun_r4.py
 """
 import json
+import subprocess
 import time
 from pathlib import Path
 
@@ -75,14 +76,19 @@ def main():
                 for nk in curve
             }
 
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd="/root/repo",
+        capture_output=True, text=True).stdout.strip()
     out = {
         "description": (
             "Round-4 rerun of both paper studies at the HEAD solver "
             "(host-LU cluster route, batched stats stage, unified "
-            "iteration counts; method=pallas, TPU v5e).  Greedy-galerkin "
-            "forward-modeling max relative H1 errors; delta vs the "
-            "round-2 artifact per (experiment, n)."),
-        "date": "2026-08-19",
+            "iteration counts, stride/VMEM-retuned kernels, lazy weight "
+            "build, de-synced batch-padding ladder; method=pallas, TPU "
+            "v5e).  Greedy-galerkin forward-modeling max relative H1 "
+            "errors; delta vs the round-2 artifact per (experiment, n)."),
+        "solver_commit": head,
+        "date": time.strftime("%Y-%m-%d"),
         "wall_clock_s": walls,
         "wall_clock_s_both_studies": sum(walls.values()),
         "r2_wall_clock_s_both_studies": r2.get("wall_clock_s_both_studies"),
