@@ -32,7 +32,10 @@ def main():
     names_all = {}
     for study in ("GeomAssumptions", "NotGeomAssumptions"):
         t0 = time.time()
-        names = run_study(study, results_dir=results_dir)
+        # force a FULL recompute (snapshots, bases, stats) so the artifact
+        # certifies the HEAD solver, not whatever store state is on disk
+        names = run_study(study, results_dir=results_dir,
+                          recalculate=True, recalculate_basis=True)
         walls[study] = time.time() - t0
         names_all[study] = names
         log(study, "done in", walls[study])
