@@ -5,16 +5,17 @@ solves at the paper configuration — printing exactly ONE JSON line (the
 driver contract).
 
 ``python bench.py --suite``: the round-3 multi-config harness — one JSON
-line per configuration (paper, mesh 40, mesh 64, online ROM serving,
-interior-cluster path), all measured in ONE process so the remote compile
-service is paid once and runs stay sequential (two concurrent TPU jobs
-starve each other's compiles — measured).
+line per configuration (paper, mesh 40, mesh 64, mesh 128, online ROM
+serving, interior-cluster path), all measured in ONE process so the remote
+compile service is paid once and runs stay sequential (two concurrent TPU
+jobs starve each other's compiles — measured).
 
 Reference baseline (BASELINE.md): 26.9 solves/s — 1000 sparse-LU solves at
 dim 6241 (mesh 20, (4,4) blocks) in 37.16 s on CPU
 (/root/reference/src/experiments/HighContrast.py:510).  The reference has no
-counterpart for the mesh-40/64 lines (its dense preassembled family would
-need ~80/530 GB), so those lines carry ``vs_baseline: null``.
+counterpart for the mesh-40/64/128 lines (its dense preassembled family
+would need ~80 GB / 530 GB / 8.7 TB), so those lines carry
+``vs_baseline: null``.
 
 Timing notes: execution is forced per burst through a checksum — under the
 axon TPU tunnel, ``block_until_ready`` alone has been observed to return
@@ -214,6 +215,11 @@ def main(argv=None):
                        with_baseline=False)
         bench_snapshot(64, min(n_samples, 512), tol, method, reps=8,
                        metric="snapshot_solves_per_sec_mesh64",
+                       with_baseline=False)
+        # dim 261,121 — the reference's dense preassembled family would
+        # need ~8.7 TB here; small batch keeps HBM/compile cost bounded
+        bench_snapshot(128, min(n_samples, 64), tol, method, reps=3,
+                       metric="snapshot_solves_per_sec_mesh128",
                        with_baseline=False)
         bench_online()
         bench_cluster()

@@ -62,10 +62,22 @@ def coarse_stride(n: int) -> int:
     win is iteration counts, not lane accounting).  At n=255 (mesh 64) the
     denser grid LOSES (stride 8 = 1,420-1,618 vs stride 16 = 1,866) —
     density there doubles the coarse rows instead.
+
+    AND the stride is capped at 16: strides past ~16 collapse regardless
+    of the (scale-free) nominal spectral design — at n=511 (mesh 128) the
+    uncapped stride 32 has ratio 1/16 and fine window [0.116, 2], exactly
+    the paper grid's design, yet burns 11,341 mean matvec-equivalents vs
+    1,993 at stride 16 (interleaved TPU sweeps 2026-08-20,
+    scripts/sweep_r4h_mesh128.py: stride 16 = 247.9 solves/s, stride 24 =
+    58.9, stride 32 = 53.2; denser stride 8 also loses, 190.1).  The
+    collapse tracks the absolute hat support (32x32-cell warped hats at
+    contrast boundaries), not the stride/(n+1) ratio — the same failure
+    family as the measured third-level divergence (docs/ROADMAP.md r4
+    item 5).  Every measured optimum lies in stride [5, 16].
     """
     if 100 <= n < 200:
         return max(2, int(round((n + 1) / 32)))
-    return max(2, int(round((n + 1) / 16)))
+    return max(2, min(16, int(round((n + 1) / 16))))
 
 
 def hat_matrix(n: int, stride: int) -> np.ndarray:

@@ -435,3 +435,14 @@ def test_auto_block_size_packed_lane_economics():
         Lf = _round_up(bs * (n + 1), 128)
         assert Lf <= 2048
         assert Lf == bs * (n + 1)  # zero dead lanes at the suite meshes
+
+
+def test_coarse_stride_capped_at_16():
+    """Strides past 16 collapse at high contrast regardless of the nominal
+    spectral design (measured at n=511: stride 32 = 53 solves/s vs
+    stride 16 = 248, scripts/sweep_r4h_mesh128.py, TPU 2026-08-20); every
+    measured optimum lies in [5, 16].  Pin the rule at the suite meshes
+    plus the scale points."""
+    for n, want in ((79, 5), (159, 5), (255, 16), (511, 16), (1023, 16)):
+        assert tl.coarse_stride(n) == want, (n, tl.coarse_stride(n))
+    assert tl.coarse_stride(19) == 2  # floor unchanged
