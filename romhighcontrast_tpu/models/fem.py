@@ -29,6 +29,38 @@ from romhighcontrast_tpu.ops import assembly, evaluation, solvers
 from romhighcontrast_tpu.ops import stencil as st
 
 
+def _canonical_batch(B0: int, dim: int) -> int | None:
+    """Padded batch size for the iterative solve family, or None to run
+    the exact shape.
+
+    Every distinct batch shape costs a fresh remote compile
+    (~minutes/program on the axon service, uncached across processes)
+    while padded rows cost only proportional device time — so batches are
+    padded up a canonical ladder.  HBM bounds it: the solve holds ~30
+    batch x grid state arrays live (f32 CG state + f64 refinement +
+    weight planes), so padded batch elements are capped at ~3.2e7 (B=2 at
+    dim 1e6 measured fine; the old ladder's B=64 there crashed the TPU
+    worker — 6.7e7 elements x ~30 arrays overruns the 16 GB chip).  At or
+    past the cap, padding only burns memory the batch already strains —
+    the exact shape runs instead (huge-dim work is compile-dominated
+    anyway)."""
+    cap = max(1, int(3.2e7) // (dim + 1))
+    canon = None
+    if B0 < cap:
+        for c in (64, 128, 256, 512, 1000, 2048, 4096):
+            if B0 <= c <= cap:
+                canon = c
+                break
+        else:
+            # above the ladder: next 1024-multiple; huge dim (cap below
+            # the ladder): next power of two — both capped, both still
+            # canonical across call sites
+            canon = ((-(-B0 // 1024) * 1024) if B0 > 4096
+                     else 1 << max(0, B0 - 1).bit_length())
+            canon = min(canon, cap)
+    return None if canon is None or canon <= B0 else canon
+
+
 @partial(jax.jit, static_argnames=("N", "grid_shape", "tol", "inner",
                                    "inner_tol", "inner_opts"))
 def _solve_mixed_from_a(a, rhs, N, grid_shape, tol, inner, inner_tol=None,
@@ -248,19 +280,11 @@ class FemSpace:
         # there the padded rows would be pure waste (up to 64x for tests)
         if (method not in ("cholesky", "lsq") and a.ndim == 3
                 and jax.default_backend() != "cpu"):
-            B0 = a.shape[0]
-            for c in (64, 128, 256, 512, 1000, 2048, 4096):
-                if B0 <= c:
-                    _canon = c
-                    break
-            else:
-                _canon = -(-B0 // 1024) * 1024
-            if _canon == B0:
-                _canon = None
-            elif rhs is not None and jnp.ndim(rhs) > 1:
+            _canon = _canonical_batch(a.shape[0], self.vspace_dim)
+            if _canon is not None and rhs is not None and jnp.ndim(rhs) > 1:
                 rhs = jnp.concatenate(
                     [jnp.asarray(rhs, self.dtype),
-                     jnp.zeros((_canon - B0,) + jnp.shape(rhs)[1:],
+                     jnp.zeros((_canon - a.shape[0],) + jnp.shape(rhs)[1:],
                                self.dtype)], axis=0)
         if _canon is not None:
             if interior_clusters is None:
@@ -280,6 +304,7 @@ class FemSpace:
                     )
                 except Exception:
                     interior_clusters = None  # traced: inner call handles it
+            B0 = a.shape[0]
             a = jnp.concatenate(
                 [jnp.asarray(a, self.dtype),
                  jnp.ones((_canon - a.shape[0],) + a.shape[1:], self.dtype)],

@@ -128,6 +128,25 @@ def auto_block_size_packed(H: int, nc: int, m1r: int, m1c: int,
     return best
 
 
+def fused_kernels_feasible(grid_shape: tuple[int, int]) -> bool:
+    """Whether the fused solver kernels fit scoped VMEM at ALL for this
+    grid, i.e. at block size 1.
+
+    The binding kernel is the dd round update (~40 live fine buffers,
+    ops/pallas_dd_round.py); past ~(895, 895) interior vertices (mesh 224
+    on a (4,4) geometry) even a single sample's ``(H, Lf)`` block set
+    exceeds ``VMEM_BUDGET_BYTES`` — and Mosaic requests beyond the 128 MB
+    physical VMEM hard-fail at compile time (measured: 159.28 MB request
+    OOMs, CLAUDE.md / ROADMAP r4 item 9).  Callers downgrade to the XLA
+    inner instead of letting the compile die."""
+    from romhighcontrast_tpu.ops.pallas_cg import VMEM_BUDGET_BYTES
+
+    nr, nc = grid_shape
+    H = _round_up(nr + 1, 8)
+    Lf = _round_up(nc + 1, 128)
+    return 40 * H * Lf * 4 <= VMEM_BUDGET_BYTES
+
+
 def fine_dims(dims) -> tuple[int, int, int]:
     """``(rows, lanes, Wf)`` of one fine kernel block.  ``Wf = 0`` marks the
     stacked layout (samples along sublanes, block ``(BS*H, W)``); ``Wf > 0``

@@ -1053,6 +1053,23 @@ def solve_pcg_mixed(
         # no room for a coarse grid; the single-level kernel is optimal at
         # these sizes anyway
         inner = "pallas_v2"
+    if inner.startswith("pallas"):
+        from romhighcontrast_tpu.ops.pallas_cg_2l import (
+            fused_kernels_feasible)
+
+        # applied on every backend (interpret mode has no VMEM wall, but
+        # routing identically keeps CPU behavior representative of TPU)
+        if not fused_kernels_feasible(grid_shape):
+            # past ~(895, 895) vertices even a single sample's fused-kernel
+            # block set exceeds scoped VMEM and the Mosaic compile
+            # hard-fails; serve the solve through the portable XLA inner
+            # instead.  Jacobi-CG iteration counts grow ~linearly with the
+            # grid side (contrast-robust, ~423 at n=79), so scale the inner
+            # budget with the grid rather than letting the 900 default
+            # truncate every round.
+            inner = "xla"
+            maxiter_inner = max(maxiter_inner,
+                                8 * (max(grid_shape) + 1))
     if inner_tol is None:
         # For the two-level inner, inner_tol is the FLOOR of the adaptive
         # per-round tolerance schedule (each round asks each sample for the

@@ -373,3 +373,51 @@ def test_iterations_contract_cluster_split():
     assert it[0] == 0            # direct host LU
     assert np.all(it[1:] > 0)    # iterative fast path
     assert np.all(np.asarray(info.relative_residual)[1:] < 1e-9)
+
+
+def test_fused_kernels_feasible_boundary():
+    """The VMEM-feasibility model: mesh 192 on (4,4) blocks fits the fused
+    kernels at BS=1, mesh 224+ does not (40-buffer dd-round model vs the
+    100 MB budget; past the 128 MB physical VMEM Mosaic compiles hard-fail
+    — measured, ROADMAP r4 item 9)."""
+    from romhighcontrast_tpu.ops.pallas_cg_2l import fused_kernels_feasible
+
+    assert fused_kernels_feasible((79, 79))       # paper config
+    assert fused_kernels_feasible((511, 511))     # mesh 128 (suite line)
+    assert fused_kernels_feasible((767, 767))     # mesh 192
+    assert not fused_kernels_feasible((895, 895))   # mesh 224
+    assert not fused_kernels_feasible((1023, 1023)) # mesh 256
+
+
+def test_vmem_infeasible_grid_downgrades_to_xla(problem, monkeypatch):
+    """When the grid cannot fit the fused kernels at any block size, the
+    pallas method must serve the solve through the XLA inner (with a
+    grid-scaled iteration budget) instead of dying in the Mosaic compile.
+    Force the downgrade on a small grid by shrinking the modeled budget."""
+    from romhighcontrast_tpu.ops import pallas_cg
+
+    space, a, refs = problem
+    monkeypatch.setattr(pallas_cg, "VMEM_BUDGET_BYTES", 1)
+    x, info = space.solve(a, method="pallas", tol=1e-10, return_info=True)
+    assert float(np.max(np.asarray(info.relative_residual))) < 1e-9
+    for xi, ref in zip(np.asarray(x), refs):
+        np.testing.assert_allclose(xi, ref, rtol=1e-7, atol=1e-11)
+
+
+def test_canonical_batch_ladder_hbm_capped():
+    """The padding ladder preserves its historical choices at study sizes
+    and stops padding where batch x dim would strain HBM (the B=64 pad at
+    dim ~1e6 crashed the TPU worker — measured 2026-08-20)."""
+    from romhighcontrast_tpu.models.fem import _canonical_batch
+
+    dim20, dim64, dim256 = 6241, 65025, 1046529
+    assert _canonical_batch(1000, dim20) is None      # exact ladder hit
+    assert _canonical_batch(250, dim20) == 256
+    assert _canonical_batch(2, dim20) == 64
+    assert _canonical_batch(512, dim64) is None
+    assert _canonical_batch(5000, dim20) == 5120      # 1024-multiple
+    # huge dim: cap = 3.2e7 // dim ~ 30 — never pad to the 64 ladder step
+    assert _canonical_batch(2, dim256) is None        # pow2(2) == B0
+    assert _canonical_batch(3, dim256) == 4
+    assert _canonical_batch(40, dim256) is None       # at/past cap: exact
+    assert _canonical_batch(600, dim64) is None       # cap ~492: exact
