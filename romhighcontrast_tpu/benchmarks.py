@@ -31,6 +31,42 @@ import time
 
 BASELINE_SOLVES_PER_SEC = 1000 / 37.16  # reference lsqsparse, 1 core
 
+# Transient axon-tunnel failure signatures (observed after heavy tunnel
+# use — CLAUDE.md: "retry the job before debugging").  Only these are
+# retried; anything else is a real error and propagates.
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "TPU device error",
+    "socket closed",
+    "connection reset",
+)
+
+
+def _is_transient(exc: BaseException) -> bool:
+    text = f"{type(exc).__name__}: {exc}".lower()
+    return any(m.lower() in text for m in _TRANSIENT_MARKERS)
+
+
+def _with_retry(fn, label, attempts=3, pause_s=20.0, _sleep=time.sleep):
+    """Run ``fn()``, retrying transient tunnel failures up to ``attempts``
+    times total.  Diagnostics go to stderr — stdout carries only the JSON
+    benchmark lines (the driver contract).  Benchmark stages emit their
+    line as the LAST step, so a retried stage never double-emits."""
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — filtered by _is_transient
+            if k + 1 >= attempts or not _is_transient(exc):
+                raise
+            print(
+                f"# transient TPU error in {label} "
+                f"(attempt {k + 1}/{attempts}): {exc!r}; "
+                f"retrying in {pause_s:.0f}s",
+                file=sys.stderr, flush=True,
+            )
+            _sleep(pause_s)
+
 
 def _emit(metric, value, unit, vs_baseline):
     print(json.dumps({
@@ -91,7 +127,10 @@ def bench_snapshot(mesh_n, n_samples, tol, method, reps=30, emit=True,
 
     try:
         sols, _ = run(method)
-    except Exception:
+    except Exception as exc:
+        if _is_transient(exc):
+            raise  # tunnel hiccup, not a method problem — let _with_retry
+            # rerun the stage instead of silently re-benchmarking "mixed"
         method = "mixed"
         sols, _ = run(method)
 
@@ -209,23 +248,33 @@ def main(argv=None):
     tol = float(os.environ.get("ROMHC_BENCH_TOL", 1e-10))
 
     if "--suite" in argv:
-        bench_snapshot(20, n_samples, tol, method)
-        bench_snapshot(40, n_samples, tol, method, reps=16,
-                       metric="snapshot_solves_per_sec_mesh40",
-                       with_baseline=False)
-        bench_snapshot(64, min(n_samples, 512), tol, method, reps=8,
-                       metric="snapshot_solves_per_sec_mesh64",
-                       with_baseline=False)
+        _with_retry(lambda: bench_snapshot(20, n_samples, tol, method),
+                    "snapshot mesh 20")
+        _with_retry(
+            lambda: bench_snapshot(40, n_samples, tol, method, reps=16,
+                                   metric="snapshot_solves_per_sec_mesh40",
+                                   with_baseline=False),
+            "snapshot mesh 40")
+        _with_retry(
+            lambda: bench_snapshot(64, min(n_samples, 512), tol, method,
+                                   reps=8,
+                                   metric="snapshot_solves_per_sec_mesh64",
+                                   with_baseline=False),
+            "snapshot mesh 64")
         # dim 261,121 — the reference's dense preassembled family would
         # need ~8.7 TB here; small batch keeps HBM/compile cost bounded
-        bench_snapshot(128, min(n_samples, 64), tol, method, reps=3,
-                       metric="snapshot_solves_per_sec_mesh128",
-                       with_baseline=False)
-        bench_online()
-        bench_cluster()
+        _with_retry(
+            lambda: bench_snapshot(128, min(n_samples, 64), tol, method,
+                                   reps=3,
+                                   metric="snapshot_solves_per_sec_mesh128",
+                                   with_baseline=False),
+            "snapshot mesh 128")
+        _with_retry(bench_online, "online ROM")
+        _with_retry(bench_cluster, "cluster path")
         return 0
 
-    sps = bench_snapshot(mesh_n, n_samples, tol, method)
+    sps = _with_retry(lambda: bench_snapshot(mesh_n, n_samples, tol, method),
+                      "snapshot headline")
     return 0 if sps > 0 else 1
 
 
