@@ -62,18 +62,6 @@ from romhighcontrast_tpu.models.fem import (
 
 
 @_partial(jax.jit, static_argnames=("grid_shape",))
-def _rel_h10_errors(w1, fm, pj, se, sols, h1, grid_shape):
-    """Three relative-H10 error curves in one program, one readback."""
-    def h10(u):
-        return jnp.sqrt(jnp.maximum(
-            jnp.sum(u * st.apply_operator_flat(w1, u, grid_shape), -1), 0.0))
-
-    return jnp.stack(
-        [h10(fm - sols) / h1, h10(pj - sols) / h1, h10(se - sols) / h1]
-    )
-
-
-@_partial(jax.jit, static_argnames=("grid_shape",))
 def _stats_all_n(wq, w1, load, a_flat, V_pads, B_pads, masks, cTs, sols, h1,
                  grid_shape):
     """The full per-builder stats family in ONE device program.
@@ -336,16 +324,26 @@ def experiment(
             ))  # (Nn, 3, k) — the asarray readback forces execution
         else:
             # spaces without the padded variants (e.g. polynomial): per-n
-            # calls, errors through the same fused error program
+            # calls through the space's OWN protocol surface only
+            # (forward_reduced / project / h10_norm — no stencil internals,
+            # which non-FEM spaces lack)
+            sols_d = jnp.asarray(solutions)
+            h1_d = jnp.asarray(h1norms)
             errs_rows = []
             for j, n in enumerate(todo):
-                fm = space.forward_reduced(a_dev, jnp.asarray(B_pads[j, :n]))
-                pj = space.project(solutions, jnp.asarray(B_pads[j, :n]))
+                # orthonormalized basis for the reduced solves (raw-snapshot
+                # Gram matrices go numerically singular as n grows — same
+                # split as the padded path: V for fm/projection, raw B only
+                # for the se lift whose lstsq ran against it)
+                V = jnp.asarray(V_pads[j, :n])
+                fm = space.forward_reduced(a_dev, V)
+                pj = space.project(solutions, V)
                 se = jnp.asarray(cTs[j, :, :n]) @ jnp.asarray(B_pads[j, :n])
-                errs_rows.append(np.asarray(_rel_h10_errors(
-                    space._ones_weights, fm, pj, se,
-                    jnp.asarray(solutions), jnp.asarray(h1norms),
-                    space.grid_shape)))
+                errs_rows.append(np.stack([
+                    np.asarray(space.h10_norm(fm - sols_d) / h1_d),
+                    np.asarray(space.h10_norm(pj - sols_d) / h1_d),
+                    np.asarray(space.h10_norm(se - sols_d) / h1_d),
+                ]))
             errs_all = np.stack(errs_rows)
         t_dev = time.time() - t0
 

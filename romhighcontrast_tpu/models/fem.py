@@ -516,7 +516,11 @@ class FemSpace:
                 xf, inf_f = _solve_mixed_from_a(
                     a2, rhs_flat, self.N, self.grid_shape, tol, inner
                 )
-            a_c = np.asarray(a2[idx_c])
+            # gather on HOST (a2's host copy is cached by jax from the
+            # cluster check): a device-side a2[idx_c] would enqueue behind
+            # the fast-path solve just dispatched and block the host
+            # factorization until it finishes, defeating the overlap
+            a_c = np.asarray(a2)[idx_c]
             rhs_c = (np.asarray(rhs_flat) if rhs_b is None
                      else np.asarray(rhs_b)[idx_c])
             xc_np, res_c = host_lu.solve_banded_batch(a_c, self.N, rhs_c)

@@ -147,6 +147,27 @@ def fused_kernels_feasible(grid_shape: tuple[int, int]) -> bool:
     return 40 * H * Lf * 4 <= VMEM_BUDGET_BYTES
 
 
+def dd_kernel_feasible(grid_shape: tuple[int, int]) -> bool:
+    """Whether the dd-STATE CG kernel (``_pcg_2l_dd_kernel``) fits scoped
+    VMEM at block size 1 on this grid.
+
+    Its live set is ~2x the plain kernels' (x/r as (hi, lo) pairs plus 12
+    double-buffered dd operand windows — the same 80-buffer model
+    ``auto_block_size_packed`` budgets with ``dd_cg=True``), so there is a
+    grid window where the plain fused kernels fit but the dd kernel does
+    not even at BS=1 (e.g. mesh 160 on a (4,4) geometry: H = Lf = 640).
+    ``auto_block_size_packed`` silently returns its fallback BS=1 there;
+    without this gate the phased driver would hand Mosaic an over-budget
+    compile that hard-fails instead of falling back to the documented
+    rounds/2l paths."""
+    from romhighcontrast_tpu.ops.pallas_cg import VMEM_BUDGET_BYTES
+
+    nr, nc = grid_shape
+    H = _round_up(nr + 1, 8)
+    Lf = _round_up(nc + 1, 128)
+    return 80 * H * Lf * 4 <= VMEM_BUDGET_BYTES
+
+
 def fine_dims(dims) -> tuple[int, int, int]:
     """``(rows, lanes, Wf)`` of one fine kernel block.  ``Wf = 0`` marks the
     stacked layout (samples along sublanes, block ``(BS*H, W)``); ``Wf > 0``

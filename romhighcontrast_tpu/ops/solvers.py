@@ -466,8 +466,8 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     from romhighcontrast_tpu.ops import twolevel as tl
     from romhighcontrast_tpu.ops.pallas_cg_2l import (
         Prepared2L, cg_2l_dd_prepared, cg_2l_prepared, coarse_prep,
-        fine_dims, fine_from_samples, fine_to_samples, pack_fine, plan_2l,
-        prepare_2l, unpack_fine,
+        dd_kernel_feasible, fine_dims, fine_from_samples, fine_to_samples,
+        pack_fine, plan_2l, prepare_2l, unpack_fine,
     )
     from romhighcontrast_tpu.ops.pallas_dd_round import (
         DDOperands, PreparedDD, build_dd_packed, build_dd_scaled,
@@ -538,6 +538,17 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     # mv vs 716 under restart rounds, sweep_r4e) — default ON; the
     # keep-beta ideal-CG variant stays as a sweepable knob.
     rep_restart = bool(_opts.pop("rep_restart", True))
+    if "dd" in (phase_a, phase_b_inner) and not dd_kernel_feasible(
+            grid_shape):
+        # the dd-state kernel's ~80-buffer live set exceeds scoped VMEM
+        # even at BS=1 on this grid (the plain fused kernels still fit):
+        # downgrade to the documented fallbacks instead of letting Mosaic
+        # hard-fail the compile.  Applied on every backend (interpret mode
+        # has no VMEM wall) so CPU runs stay representative of TPU.
+        if phase_a == "dd":
+            phase_a = "rounds"
+        if phase_b_inner == "dd":
+            phase_b_inner = "2l"
     # compact-phase hand-off size.  128 is the measured optimum at the
     # paper config (256/384 ran 8-14% slower — top-k gather and compact
     # prep grow with K while masked full-batch rounds already exit at

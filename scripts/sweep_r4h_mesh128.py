@@ -37,7 +37,7 @@ def main():
 
     # compile + residual-gate every config, collect iteration stats
     its = {}
-    for name, kw in CONFIGS.items():
+    for name, kw in list(CONFIGS.items()):
         t0 = time.time()
         try:
             sols, info = space.solve(a, method="pallas", tol=1e-10,
@@ -55,7 +55,7 @@ def main():
                 f"mv mean/med/max {its[name]}")
             if not rel < 1e-9:
                 log(f"{name}: GATE FAILED, dropping")
-                del CONFIGS[name]
+                CONFIGS.pop(name, None)
         except Exception as e:
             log(f"{name}: FAILED {type(e).__name__}: {e}")
             CONFIGS.pop(name, None)

@@ -184,3 +184,43 @@ def test_plots_from_experiment(tmp_path):
 
     out = paper_plots(["plotme"], [[[(0, 0)]]], names, results_dir=tmp_path)
     assert list(out.glob("*.png"))
+
+
+def test_stats_fallback_matches_padded_path(tmp_path, monkeypatch):
+    """The non-padded stats fallback (spaces without forward_reduced_padded)
+    must produce the same error curves as the padded scan.  Uses vn_max_dim
+    high enough that RAW-snapshot Gram matrices are near-singular on the
+    1-parameter manifold — with the raw basis in the reduced solves (the
+    round-4 bug) fm/projection errors explode; the orthonormalized basis
+    keeps them equal to the padded path's.  The fallback is also restricted
+    to the space PROTOCOL surface (forward_reduced/project/h10_norm), so it
+    stays valid for non-FEM spaces."""
+    from romhighcontrast_tpu.models.fem import FemSpace
+
+    config = dict(
+        reduced_basis_builders=[RandomBuilder()],
+        mesh_discretization_per_dim=4,
+        diff_coef_refinement=4,
+        vn_max_dim=6,
+        num_measurements=20,
+        blocks_geometry=(2, 2),
+        high_contrast_blocks=[[(0, 0)]],
+        max_num_samples_offline=20,
+        seed=42,
+        verbose=False,
+    )
+    res_pad = experiment(name="padded", results_dir=tmp_path / "p", **config)
+    monkeypatch.delattr(FemSpace, "forward_reduced_padded")
+    res_fb = experiment(name="fallback", results_dir=tmp_path / "f", **config)
+
+    key = RandomBuilder().name
+    errs_pad = res_pad.store[key]["errors"]
+    errs_fb = res_fb.store[key]["errors"]
+    for n in errs_pad:
+        for problem in ("forward_modeling", "projection", "state_estimation"):
+            np.testing.assert_allclose(
+                np.asarray(errs_fb[n][problem]),
+                np.asarray(errs_pad[n][problem]),
+                rtol=1e-4, atol=1e-9,
+                err_msg=f"n={n} {problem}",
+            )
