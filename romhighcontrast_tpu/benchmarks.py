@@ -44,6 +44,15 @@ _TRANSIENT_MARKERS = (
 
 
 def _is_transient(exc: BaseException) -> bool:
+    # Deterministic Python-level failures (assertions, bad values) are never
+    # transient even when their message QUOTES a marker (e.g. an assertion
+    # wrapping a log line) — don't burn 3x20s retries on those.  Everything
+    # else (XlaRuntimeError, RuntimeError, OSError, wrapped grpc errors...)
+    # classifies by message: the tunnel's failure surface is too varied for
+    # a type allowlist, and a missed transient kills the bench capture.
+    if isinstance(exc, (AssertionError, ValueError, TypeError, KeyError,
+                        IndexError, AttributeError, NameError)):
+        return False
     text = f"{type(exc).__name__}: {exc}".lower()
     return any(m.lower() in text for m in _TRANSIENT_MARKERS)
 

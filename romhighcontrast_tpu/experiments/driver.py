@@ -61,17 +61,22 @@ from romhighcontrast_tpu.models.fem import (
 )
 
 
-@_partial(jax.jit, static_argnames=("grid_shape",))
-def _stats_all_n(wq, w1, load, a_flat, V_pads, B_pads, masks, cTs, sols, h1,
-                 grid_shape):
-    """The full per-builder stats family in ONE device program.
+@_partial(jax.jit, static_argnames=("grid_shape", "family"))
+def _stats_family(wq, w1, load, a_flat, V_pads, B_pads, masks, cTs, sols, h1,
+                  grid_shape, family):
+    """One per-builder stats family (all padded n) in ONE device program.
 
-    Scans the padded-n axis: per step one reduced-Galerkin forward solve
-    (orthonormalized padded basis), one H10 projection, the state-estimation
-    lift ``c^T B`` (RAW basis — the lstsq ran against it), and the three
-    relative-H10 error rows.  Only the ``(Nn, 3, k)`` error array leaves the
-    device — the per-n solution fields (~50 MB each at the paper config)
-    never materialize beyond one scan step.
+    Scans the padded-n axis: per step the family's approximation — the
+    reduced-Galerkin forward solve (``"fm"``, orthonormalized padded basis),
+    the H10 projection (``"pj"``), or the state-estimation lift ``c^T B``
+    (``"se"``, RAW basis — the lstsq ran against it) — and its relative-H10
+    error row.  Only the ``(Nn, k)`` error array leaves the device — the
+    per-n solution fields (~50 MB each at the paper config) never
+    materialize beyond one scan step.  The three families are separate
+    programs so the driver can MEASURE each problem type's wall-clock
+    instead of apportioning one batched timing across them (VERDICT r4 #4);
+    3 readbacks per builder instead of 1 is still ~100x better than the
+    r2/r3 per-(n, builder) loop.
     """
     def h10(u):
         return jnp.sqrt(jnp.maximum(
@@ -79,14 +84,14 @@ def _stats_all_n(wq, w1, load, a_flat, V_pads, B_pads, masks, cTs, sols, h1,
 
     def step(carry, inp):
         V_pad, B_pad, mask, cT = inp
-        fm = _forward_reduced_padded(wq, V_pad, load, a_flat, mask,
-                                     grid_shape)
-        pj = _project_padded(w1, V_pad, sols, mask, grid_shape)
-        se = cT @ B_pad
-        errs = jnp.stack(
-            [h10(fm - sols) / h1, h10(pj - sols) / h1, h10(se - sols) / h1]
-        )
-        return carry, errs
+        if family == "fm":
+            u = _forward_reduced_padded(wq, V_pad, load, a_flat, mask,
+                                        grid_shape)
+        elif family == "pj":
+            u = _project_padded(w1, V_pad, sols, mask, grid_shape)
+        else:  # "se"
+            u = cT @ B_pad
+        return carry, h10(u - sols) / h1
 
     _, errs = _lax.scan(step, 0, (V_pads, B_pads, masks, cTs))
     return errs
@@ -250,7 +255,7 @@ def experiment(
     # Shape discipline: the basis is zero-padded to vn_max_dim with an
     # active-row mask, so every n reuses ONE compiled program.  Since round
     # 4 the whole per-builder (n, problem-type) error family is ONE scanned
-    # device program with ONE readback (`_stats_all_n`): the round-2/3 loop
+    # device program per problem family (`_stats_family`): the round-2/3 loop
     # paid ~4 synced device calls per (n, builder) cell (~80 cells, each a
     # ~25 ms tunnel round-trip plus dispatch latency) — the dominant study
     # wall-clock after the snapshot stage.  The per-n small algebra (lstsq,
@@ -314,14 +319,25 @@ def experiment(
 
         t0 = time.time()
         if padded_ok:
-            errs_all = np.asarray(_stats_all_n(
+            # one program per problem family, each timed by its own forcing
+            # readback: the stored per-type times are MEASURED (per family;
+            # still apportioned evenly over n within a family — flagged in
+            # the store schema below)
+            args = (
                 space._eye_weights, space._ones_weights, space.load,
                 a_dev.reshape(a_dev.shape[0], -1),
                 jnp.asarray(V_pads), jnp.asarray(B_pads),
                 jnp.asarray(masks), jnp.asarray(cTs),
                 jnp.asarray(solutions), jnp.asarray(h1norms),
-                space.grid_shape,
-            ))  # (Nn, 3, k) — the asarray readback forces execution
+            )
+            errs_fam, t_fam = [], {}
+            for fam in ("fm", "pj", "se"):
+                tf0 = time.time()
+                errs_fam.append(np.asarray(_stats_family(
+                    *args, space.grid_shape, fam,
+                )))  # (Nn, k) — the asarray readback forces execution
+                t_fam[fam] = time.time() - tf0
+            errs_all = np.stack(errs_fam, axis=1)  # (Nn, 3, k)
         else:
             # spaces without the padded variants (e.g. polynomial): per-n
             # calls through the space's OWN protocol surface only
@@ -347,11 +363,16 @@ def experiment(
             errs_all = np.stack(errs_rows)
         t_dev = time.time() - t0
 
-        # one batched device pass covers all Nn dims and all three solve-
-        # type problems: apportion wall-clock evenly (the reference's per-
-        # cell times measured exactly this work, serialized); estimator
-        # times are the host einsums above.
-        t_cell = t_dev / (3 * Nn)
+        # Per-problem-type wall-clock is MEASURED (one batched program per
+        # family on the padded path; the reference's per-cell times measured
+        # exactly this work, serialized); within a family one batched pass
+        # covers all Nn dims, so the per-n split is apportioned evenly —
+        # recorded as such in the store schema.  Estimator times are the
+        # host einsums above.
+        if padded_ok:
+            t_cells = {fam: t_fam[fam] / Nn for fam in ("fm", "pj", "se")}
+        else:
+            t_cells = {fam: t_dev / (3 * Nn) for fam in ("fm", "pj", "se")}
         t_host_cell = t_host / max(Nn, 1)
         for j, n in enumerate(todo):
             errors[str(n)] = TypeOfProblems(
@@ -364,14 +385,18 @@ def experiment(
                     1 - lin_params_all[j] / a_np),
             )._asdict()
             times[str(n)] = TypeOfProblems(
-                forward_modeling=t_cell,
-                projection=t_cell,
-                state_estimation=t_cell + t_host_cell,
+                forward_modeling=t_cells["fm"],
+                projection=t_cells["pj"],
+                state_estimation=t_cells["se"] + t_host_cell,
                 parameter_estimation_inverse=0.0,
                 parameter_estimation_linear=0.0,
             )._asdict()
         entry["stats_batched"] = True
         entry["time2stats_batched"] = t_dev
+        # schema honesty (VERDICT r4 #4): per-TYPE times are measured per
+        # batched family; the per-n split within a family is apportioned
+        entry["times_measured_per_type"] = bool(padded_ok)
+        entry["times_apportioned_over_n"] = True
         store.save(wait=False)
 
     store.finalize()  # all checkpoints durable before returning

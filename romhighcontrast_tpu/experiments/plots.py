@@ -74,7 +74,7 @@ def plot_error_paths(ax, store, reduced_basis_2show, type_of_problem,
     """Relative error vs 1/contrast, one curve per n — flatness in contrast
     is the paper's headline qualitative result
     (reference: HighContrast.py:248-265)."""
-    from matplotlib import cm
+    import matplotlib.pyplot as plt
 
     ahc = 1 / np.max(np.asarray(a_high_contrast), axis=-1)
     order = np.argsort(ahc)
@@ -87,7 +87,7 @@ def plot_error_paths(ax, store, reduced_basis_2show, type_of_problem,
             if "parameter_estimation" in type_of_problem:
                 err = err.max(axis=(-1, -2))
             ax.plot(ahc[order], err[order], label=n, marker=None,
-                    c=cm.get_cmap("viridis")((max(ns) - n) / max(ns)))
+                    c=plt.get_cmap("viridis")((max(ns) - n) / max(ns)))
         ax.set_xlabel(r"$1/y_1$")
         ax.set_ylabel(r"$H^1_0$ error")
         ax.set_yscale("log")

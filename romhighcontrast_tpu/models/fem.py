@@ -516,10 +516,13 @@ class FemSpace:
                 xf, inf_f = _solve_mixed_from_a(
                     a2, rhs_flat, self.N, self.grid_shape, tol, inner
                 )
-            # gather on HOST (a2's host copy is cached by jax from the
-            # cluster check): a device-side a2[idx_c] would enqueue behind
+            # gather on HOST: a device-side a2[idx_c] would enqueue behind
             # the fast-path solve just dispatched and block the host
-            # factorization until it finishes, defeating the overlap
+            # factorization until it finishes, defeating the overlap.
+            # (For non-padded batches a2's host copy is already cached by
+            # jax from the cluster check; ladder-padded batches pay one
+            # ~25 ms readback of the freshly-built padded array here —
+            # reading an existing buffer, so the overlap still holds.)
             a_c = np.asarray(a2)[idx_c]
             rhs_c = (np.asarray(rhs_flat) if rhs_b is None
                      else np.asarray(rhs_b)[idx_c])

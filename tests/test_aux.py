@@ -239,6 +239,10 @@ def test_bench_retry_wrapper_transient_only():
     assert _is_transient(RuntimeError("UNAVAILABLE: TPU device error"))
     assert _is_transient(Exception("deadline_exceeded while dispatching"))
     assert not _is_transient(ValueError("residual check failed"))
+    # deterministic Python failures never retry, even when the message
+    # quotes a transient marker (advisor r4)
+    assert not _is_transient(AssertionError("log said: connection reset"))
+    assert not _is_transient(ValueError("wrapped UNAVAILABLE text"))
 
     # transient failures retry (no real sleeping in the test)
     sleeps = []

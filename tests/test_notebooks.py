@@ -29,9 +29,14 @@ def test_notebook_executes(path, tmp_path, monkeypatch):
         for c in json.loads(path.read_text())["cells"]
         if c["cell_type"] == "code"
     ]
+    import matplotlib.pyplot as plt
+
     scope = {}
     for i, src in enumerate(cells):
         exec(compile(src, f"{path.name}:cell{i}", "exec"), scope)
+        # headless run renders nothing: close per cell so the tutorial's
+        # per-n figure loops don't accumulate >20 open figures (warning)
+        plt.close("all")
 
 
 def test_notebooks_ship_with_outputs():
