@@ -16,6 +16,7 @@ from romhighcontrast_tpu.parallel.mesh import data_mesh, shard_batch
 from romhighcontrast_tpu.parallel.sharding import (
     distributed_argmax_error,
     sharded_snapshot_solve,
+    sharded_solve_pallas,
     sharded_training_step,
 )
 
@@ -24,5 +25,6 @@ __all__ = [
     "shard_batch",
     "distributed_argmax_error",
     "sharded_snapshot_solve",
+    "sharded_solve_pallas",
     "sharded_training_step",
 ]
