@@ -31,6 +31,30 @@ import time
 
 BASELINE_SOLVES_PER_SEC = 1000 / 37.16  # reference lsqsparse, 1 core
 
+# Reference greedy build (galerkin flavor, n=15, 1000 training snapshots,
+# dim 6241, 1 core), MEASURED on this host by running the reference's own
+# loop (/root/reference/src/lib/ReducedBasis.py:112-136) against its own
+# dense preassembled operators — scripts/bench_reference_greedy.py; the
+# measurement record is docs/parity/reference_greedy_host.json.
+BASELINE_GREEDY_BUILD_SEC = None  # filled from the measurement record
+
+
+def _baseline_greedy_build_sec():
+    """Reference greedy-build seconds: the in-repo measurement record if
+    present, else the hardcoded measurement (kept in sync)."""
+    global BASELINE_GREEDY_BUILD_SEC
+    if BASELINE_GREEDY_BUILD_SEC is None:
+        import pathlib
+
+        rec = (pathlib.Path(__file__).resolve().parents[1]
+               / "docs" / "parity" / "reference_greedy_host.json")
+        try:
+            BASELINE_GREEDY_BUILD_SEC = float(
+                json.loads(rec.read_text())["greedy_build_seconds"])
+        except Exception:
+            BASELINE_GREEDY_BUILD_SEC = 0.0
+    return BASELINE_GREEDY_BUILD_SEC
+
 # Transient axon-tunnel failure signatures (observed after heavy tunnel
 # use — CLAUDE.md: "retry the job before debugging").  Only these are
 # retried; anything else is a real error and propagates.
@@ -198,6 +222,61 @@ def bench_online(n_basis=15, n_samples=1000, reps=30):
     return sps
 
 
+def bench_greedy(n_basis=15, n_samples=1000, reps=3):
+    """RB-construction throughput (VERDICT r4 #3 / BASELINE.md north star:
+    "snapshot + RB-construction"): one full GreedyBuilder.build (galerkin
+    flavor, n=15) over the 1000-snapshot paper grid.
+
+    Numerator: the device-resident fused greedy (rom/builders._greedy_step
+    — one dispatch per iteration, one readback per build).  Denominator:
+    the reference's own greedy loop measured on this host against its dense
+    preassembled family (scripts/bench_reference_greedy.py ->
+    docs/parity/reference_greedy_host.json)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from romhighcontrast_tpu.rom.builders import (
+        GREEDY_FOR_GALERKIN, GreedyBuilder,
+    )
+
+    space, a = _paper_problem(20, n_samples)
+    a = jnp.asarray(a)
+    sols = space.solve(a, tol=1e-10)
+    h1 = space.h10_norm(sols)
+
+    def build_once():
+        return GreedyBuilder(greedy_for=GREEDY_FOR_GALERKIN).build(
+            n=n_basis, sm=space, solutions2train=sols, a2train=a,
+            solutions2train_h1norm=h1,
+        )
+
+    rb = build_once()  # warm (compiles _greedy_step); also the sanity gate
+    fm = space.forward_reduced(a, rb.basis)
+    err = float(jnp.max(space.h10_norm(fm - sols) / h1))
+    if not (err < 1e-3):
+        print(json.dumps({
+            "metric": "greedy_build_per_sec", "value": 0.0, "unit": "builds/s",
+            "vs_baseline": 0.0, "error": f"greedy basis error gate: {err}",
+        }), flush=True)
+        return 0.0
+
+    # the build is synchronous by construction: the final np.asarray of the
+    # selected-index vector is a value readback (forces execution on the
+    # tunnel, where block_until_ready alone is unreliable)
+    t0 = time.time()
+    for _ in range(reps):
+        build_once()
+    dt = (time.time() - t0) / reps
+    bps = 1.0 / dt
+    ref_sec = _baseline_greedy_build_sec()
+    _emit("greedy_build_per_sec", bps,
+          f"greedy builds/s @ dim={space.vspace_dim}, n={n_basis}, "
+          f"{n_samples} snapshots (galerkin flavor; max fm rel err "
+          f"{err:.1e}; reference loop: {ref_sec:.1f}s on this host)",
+          bps * ref_sec if ref_sec else None)
+    return bps
+
+
 def bench_cluster(n_samples=256, reps=3):
     """Interior-cluster path: diagonal stiff blocks that never touch the
     Dirichlet boundary.  Since round 4 the cluster bucket routes to host
@@ -278,6 +357,7 @@ def main(argv=None):
                                    metric="snapshot_solves_per_sec_mesh128",
                                    with_baseline=False),
             "snapshot mesh 128")
+        _with_retry(bench_greedy, "greedy RB build")
         _with_retry(bench_online, "online ROM")
         _with_retry(bench_cluster, "cluster path")
         return 0

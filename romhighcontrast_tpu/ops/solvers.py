@@ -554,6 +554,18 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     # prep grow with K while masked full-batch rounds already exit at
     # iteration zero); exposed for tests and sweeps.
     phase_b_k = int(_opts.pop("phase_b_k", 128))
+    # dynamic straggler RE-BINNING (r5, VERDICT r4 #5): a CASCADE of
+    # compact phases, e.g. (256, 128) — phase A hands off as soon as
+    # <= 256 samples are unconverged; those are compacted across block
+    # boundaries into fresh dense blocks (a shape-stable top-K gather, the
+    # same machinery as phase B), run until <= 128 survive, re-compacted,
+    # and so on.  Today's fixed blocks keep their initial membership, so
+    # the tail is a few samples per block padding whole blocks; each
+    # cascade stage re-bins them.  Default: the single measured-optimal
+    # K=128 stage.
+    cascade = _opts.pop("phase_b_cascade", None)
+    phase_b_ks = (tuple(int(k) for k in cascade) if cascade
+                  else (phase_b_k,))
     inner_opts = tuple(_opts.items())
 
     def flat(v):
@@ -823,8 +835,10 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
                                       t2s, interpret=interpret,
                                       blocked_state=True, d_blocked=True)
 
-    K = phase_b_k
-    phase_b = B >= 2 * K and max_rounds > 2
+    # drop cascade stages the batch cannot feed (top-K needs K << B)
+    phase_b_ks = tuple(k for k in phase_b_ks if 2 * k <= B)
+    K = phase_b_ks[0] if phase_b_ks else phase_b_k
+    phase_b = bool(phase_b_ks) and max_rounds > 2
     if phase_a == "dd" and bool(dims0[10]) and prep2l0.sg2 is None:
         # ONE dd-state kernel to the final tolerance: no restart rounds,
         # no per-round dd passes; phases B/C below stay as mop-up for
@@ -855,7 +869,10 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
         )
         xh, xl, rt, rr, rounds, iters, key, prev_rr = state
 
-    if phase_b:
+    for _j, K in enumerate(phase_b_ks if phase_b else ()):
+        # cascade hand-off: run this compact stage only until the NEXT
+        # (smaller) stage can absorb the survivors
+        _next_k = phase_b_ks[_j + 1] if _j + 1 < len(phase_b_ks) else 0
         _, idx = lax.top_k(rr / t2s, K)
         if fused:
             # gather the compact subproblem's operands from the packed
@@ -941,8 +958,9 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
             else:
                 bodyK = make_body(True, hi_weights(opsK), prepddK, dimsK,
                                   t2K)
-            stK = lax.while_loop(round_cond(t2K, rounds + max_rounds),
-                                 bodyK, stK)
+            stK = lax.while_loop(
+                round_cond(t2K, rounds + max_rounds, until_few=_next_k),
+                bodyK, stK)
 
         def scatter_block(xb, xs):
             flat = fine_to_samples(xb, dims0)

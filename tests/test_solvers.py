@@ -404,6 +404,30 @@ def test_vmem_infeasible_grid_downgrades_to_xla(problem, monkeypatch):
         np.testing.assert_allclose(xi, ref, rtol=1e-7, atol=1e-11)
 
 
+def test_phase_b_cascade_matches_default():
+    """Dynamic straggler re-binning (phase_b_cascade, VERDICT r4 #5): a
+    cascade of compact phases re-bins stragglers across block boundaries —
+    a block-economics knob.  It may shift WHICH round serves which sample
+    (the adaptive tolerance schedule sees different hand-off points, so
+    per-sample counts can differ), but delivery is identical: residuals
+    gated at the asked tolerance, solutions equal to solver accuracy."""
+    space = FemSpace((4, 4), 10)
+    c = 1 / np.linspace(1 / INFINIT_A, 1, 40, endpoint=False)
+    a = np.ones((40, 4, 4))
+    a[:, 0, 1] = c
+    a[:, 1, 3] = c[::-1]
+    x0, i0 = space.solve(a, method="pallas", tol=1e-10, return_info=True,
+                         interior_clusters=False)
+    x1, i1 = space.solve(a, method="pallas", tol=1e-10, return_info=True,
+                         interior_clusters=False,
+                         inner_opts=(("phase_b_cascade", (16, 8)),))
+    assert float(jnp.max(i0.relative_residual)) < 1e-9
+    assert float(jnp.max(i1.relative_residual)) < 1e-9
+    assert int(jnp.min(i1.iterations)) > 0
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
+                               rtol=1e-5, atol=1e-10)
+
+
 def test_canonical_batch_ladder_hbm_capped():
     """The padding ladder preserves its historical choices at study sizes
     and stops padding where batch x dim would strain HBM (the B=64 pad at
