@@ -129,16 +129,34 @@ def auto_block_size_packed(H: int, nc: int, m1r: int, m1c: int,
 
 
 def fused_kernels_feasible(grid_shape: tuple[int, int]) -> bool:
-    """Whether the fused solver kernels fit scoped VMEM at ALL for this
-    grid, i.e. at block size 1.
+    """Whether the PLAIN fused 2l CG kernel fits VMEM at block size 1 —
+    the outer bound for serving a grid in-kernel at all.
 
-    The binding kernel is the dd round update (~40 live fine buffers,
-    ops/pallas_dd_round.py); past ~(895, 895) interior vertices (mesh 224
-    on a (4,4) geometry) even a single sample's ``(H, Lf)`` block set
-    exceeds ``VMEM_BUDGET_BYTES`` — and Mosaic requests beyond the 128 MB
-    physical VMEM hard-fail at compile time (measured: 159.28 MB request
-    OOMs, CLAUDE.md / ROADMAP r4 item 9).  Callers downgrade to the XLA
-    inner instead of letting the compile die."""
+    Measured on v5e (2026-08-20, scripts/probe_mesh256_kernel.py): the
+    plain kernel COMPILES AND RUNS at (1023, 1023) = mesh 256 on (4,4)
+    blocks (dim 1.05M; H = Lf = 1024, 4 MB/buffer) and hard-fails the
+    Mosaic compile at (1151, 1151) — bracketing the true live set at
+    ~26-32 fine buffers.  Modeled at 30 buffers against the 128 MB
+    physical limit (mesh 256 -> 125.8 MB: in; mesh 288 -> 159 MB: out).
+    Callers downgrade to the XLA inner past this bound instead of letting
+    the compile die.  The PHASED driver's dd-round kernel has a larger
+    live set — see :func:`phased_driver_feasible`."""
+    from romhighcontrast_tpu.ops.pallas_cg import VMEM_LIMIT_BYTES
+
+    nr, nc = grid_shape
+    H = _round_up(nr + 1, 8)
+    Lf = _round_up(nc + 1, 128)
+    return 30 * H * Lf * 4 <= VMEM_LIMIT_BYTES
+
+
+def phased_driver_feasible(grid_shape: tuple[int, int]) -> bool:
+    """Whether the PHASED dd-state driver can run on this grid: its
+    binding kernel is the dd round update (~40 live fine buffers,
+    ops/pallas_dd_round.py), infeasible past ~(895, 895) interior vertices
+    (mesh 224 on a (4,4) geometry — measured 159.28 MB OOM, ROADMAP r4
+    item 9).  Between this bound and :func:`fused_kernels_feasible` the
+    solve serves through the GENERIC refinement loop (XLA f64 glue) with
+    the plain 2l kernel as its inner — in-kernel up to dim ~1.05M."""
     from romhighcontrast_tpu.ops.pallas_cg import VMEM_BUDGET_BYTES
 
     nr, nc = grid_shape
@@ -975,10 +993,20 @@ def cg_2l_prepared(
     cl2min: float = 0.12,
     cl2max: float = 2.05,
     hi_xfer: bool = False,
+    serial: bool = False,
 ):
     """Run the kernel against prepared operands.  ``b`` ``(B, nr, nc)`` and
     ``rtol2`` ``(B,)`` must be in the SAME sample order as the prepared
     arrays.  Returns ``(x, iterations)`` unpadded, in that order.
+
+    ``serial``: launch one grid-step-(1,) kernel per sample block via
+    ``lax.map`` instead of a single multi-block grid.  A multi-block grid
+    double-buffers the 6 fine input refs across grid steps (~24 MB extra
+    at mesh 256), pushing the near-VMEM-capacity huge-grid route over the
+    128 MB limit (measured: 137.31M requested at (1023, 1023) with
+    grid=(2,), while grid=(1,) compiles).  Used by the huge-grid serving
+    path; costs one kernel relaunch per block — noise next to the
+    hundreds of outers each block runs.
 
     ``blocked_io=True``: ``b`` arrives and ``x`` is returned in the blocked
     ``(BP//BS, BS*H, W)`` layout (the dd refinement driver keeps its state
@@ -1031,33 +1059,65 @@ def cg_2l_prepared(
         extra_specs = [cspec2] * 9 + [smat(prep.Rrow2), smat(prep.Rrow2T),
                                       smat(prep.Ccol2), smat(prep.Ccol2T)]
 
-    # Mosaic cannot compile kernels traced in x64 mode; all-f32 kernel
-    with jax.enable_x64(False):
-        out, its = pl.pallas_call(
-            functools.partial(
-                _pcg_2l_kernel, maxiter=maxiter, BS=BS, H=H,
-                deg=deg, lmin=float(lmin), lmax=float(lmax), dc=dc,
-                clmin=float(clmin), clmax=float(clmax),
-                xfer_bf16=xfer_bf16, Wcp=Wcp, Wf=Wf,
-                fuse_dots=fuse_dots,
-                dc2=(dc2 if three_level else 0),
-                cl2min=float(cl2min), cl2max=float(cl2max),
-                hi_xfer=hi_xfer,
-            ),
-            grid=(BP // BS,),
-            in_specs=[fspec] * 6 + [cspec] * 9 + [it_spec]
-            + [smat(prep.Rrow), smat(prep.RrowT), smat(prep.Ccol),
-               smat(prep.CcolT)] + extra_specs,
+    kernel_fn = functools.partial(
+        _pcg_2l_kernel, maxiter=maxiter, BS=BS, H=H,
+        deg=deg, lmin=float(lmin), lmax=float(lmax), dc=dc,
+        clmin=float(clmin), clmax=float(clmax),
+        xfer_bf16=xfer_bf16, Wcp=Wcp, Wf=Wf,
+        fuse_dots=fuse_dots,
+        dc2=(dc2 if three_level else 0),
+        cl2min=float(cl2min), cl2max=float(cl2max),
+        hi_xfer=hi_xfer,
+    )
+    shared_specs = [smat(prep.Rrow), smat(prep.RrowT), smat(prep.Ccol),
+                    smat(prep.CcolT)] + extra_specs
+    blocked_ops = (prep.wE, prep.wW, prep.wS, prep.wN, bp, prep.dh,
+                   prep.sg) + tuple(prep.cbands) + (rt2,)
+    shared_ops = (prep.Rrow, prep.RrowT, prep.Ccol,
+                  prep.CcolT) + extra_ops
+
+    def call(ops, nblocks):
+        return pl.pallas_call(
+            kernel_fn,
+            grid=(nblocks,),
+            in_specs=[fspec] * 6 + [cspec] * 9 + [it_spec] + shared_specs,
             out_specs=(fspec, it_spec),
             out_shape=(
-                jax.ShapeDtypeStruct((BP // BS,) + fshape[1:], jnp.float32),
-                jax.ShapeDtypeStruct((BP // BS,) + it_shape[1:], jnp.int32),
+                jax.ShapeDtypeStruct((nblocks,) + fshape[1:], jnp.float32),
+                jax.ShapeDtypeStruct((nblocks,) + it_shape[1:], jnp.int32),
             ),
             compiler_params=tpu_compiler_params(),
             interpret=interpret,
-        )(prep.wE, prep.wW, prep.wS, prep.wN, bp, prep.dh, prep.sg,
-          *prep.cbands, rt2, prep.Rrow, prep.RrowT, prep.Ccol, prep.CcolT,
-          *extra_ops)
+        )(*ops)
+
+    # Mosaic cannot compile kernels traced in x64 mode; all-f32 kernel
+    with jax.enable_x64(False):
+        if serial and not three_level and BP // BS > 1:
+            # STATIC unroll, not lax.map: under lax.map XLA fuses the
+            # per-step dynamic slices into the pallas custom call and
+            # charges them against scoped VMEM (measured: limit drops to
+            # 56M while the kernel needs 94.95M at mesh 256).  Static
+            # x[k:k+1] slices are views — operands stay in HBM and each
+            # grid-(1,) call keeps the full scoped budget.  The Mosaic
+            # binary is compiled once (identical call config); B is tiny
+            # on this route (HBM caps it), so unrolled XLA code is small.
+            outs, itss = [], []
+            for k in range(BP // BS):
+                # optimization barriers stop XLA from fusing the slice /
+                # concat neighbors INTO the pallas kCustom fusion: a mixed
+                # fusion is checked against the global 16 MB scoped-vmem
+                # flag instead of the kernel's own 128 MB limit (measured:
+                # "scoped allocation 66.95M, limit 16.00M" at mesh 256)
+                ops_k = jax.lax.optimization_barrier(
+                    tuple(x[k:k + 1] for x in blocked_ops))
+                o, i = call(tuple(ops_k) + shared_ops, 1)
+                o, i = jax.lax.optimization_barrier((o, i))
+                outs.append(o)
+                itss.append(i)
+            out = jnp.concatenate(outs, axis=0)
+            its = jnp.concatenate(itss, axis=0)
+        else:
+            out, its = call(blocked_ops + shared_ops, BP // BS)
     if blocked_io:
         return out, its.reshape(BP)[:B]
     return unpack_fine(out, dims), its.reshape(BP)[:B]

@@ -1082,15 +1082,16 @@ def solve_pcg_mixed(
         # no room for a coarse grid; the single-level kernel is optimal at
         # these sizes anyway
         inner = "pallas_v2"
+    phased_ok = True
     if inner.startswith("pallas"):
         from romhighcontrast_tpu.ops.pallas_cg_2l import (
-            fused_kernels_feasible)
+            fused_kernels_feasible, phased_driver_feasible)
 
         # applied on every backend (interpret mode has no VMEM wall, but
         # routing identically keeps CPU behavior representative of TPU)
         if not fused_kernels_feasible(grid_shape):
-            # past ~(895, 895) vertices even a single sample's fused-kernel
-            # block set exceeds scoped VMEM and the Mosaic compile
+            # past ~(1023, 1023) vertices even the plain 2l kernel's BS=1
+            # block set exceeds physical VMEM and the Mosaic compile
             # hard-fails; serve the solve through the portable XLA inner
             # instead.  Jacobi-CG iteration counts grow ~linearly with the
             # grid side (contrast-robust, ~423 at n=79), so scale the inner
@@ -1099,6 +1100,14 @@ def solve_pcg_mixed(
             inner = "xla"
             maxiter_inner = max(maxiter_inner,
                                 8 * (max(grid_shape) + 1))
+        else:
+            # the dd-round kernel (the phased driver's per-round pass) has
+            # a ~40-buffer live set vs the plain kernel's ~30: between
+            # mesh ~224 and 256 the solve stays IN-KERNEL through the
+            # generic refinement loop (XLA f64 glue) with the plain 2l
+            # inner (r5; measured compile bracket in
+            # scripts/probe_mesh256_kernel.py)
+            phased_ok = phased_driver_feasible(grid_shape)
     if inner_tol is None:
         # For the two-level inner, inner_tol is the FLOOR of the adaptive
         # per-round tolerance schedule (each round asks each sample for the
@@ -1108,7 +1117,7 @@ def solve_pcg_mixed(
         # fixed 1e-4 (they floor too often below that).
         inner_tol = 3e-6 if inner == "pallas_2l" else 1e-4
 
-    if (inner == "pallas_2l" and inner_dtype == jnp.float32
+    if (inner == "pallas_2l" and inner_dtype == jnp.float32 and phased_ok
             and not (cluster_labels is not None and n_clusters > 0)):
         # hot path: phased driver (full-batch rounds, then compact
         # straggler rounds) — see _mixed_2l_phased.  Warm starts (x0) take
@@ -1174,7 +1183,10 @@ def solve_pcg_mixed(
                    tl.coarse_stride(grid_shape[1]))
         _opts = dict(inner_opts)
         _packed = bool(_opts.pop("packed_coarse", True))
-        _packed_f = bool(_opts.pop("packed_fine", False))
+        # packed-fine default: ON for the huge-grid route (the measured
+        # mesh-256 compile bracket is for the packed layout; the stacked
+        # BS=1 layout was never probed there), historical OFF otherwise
+        _packed_f = bool(_opts.pop("packed_fine", not phased_ok))
         inner_opts = tuple(_opts.items())
         wt3 = st.StencilCoefficients(
             *(jnp.broadcast_to(v, batch + grid_shape)
@@ -1210,7 +1222,11 @@ def solve_pcg_mixed(
                 # 3e-6 floor (measured); a sample flooring ABOVE its asked
                 # tolerance must not drag its block for the full budget
                 maxiter=min(maxiter_inner, 64), interpret=interpret,
-                strides=strides, **dict(inner_opts),
+                strides=strides,
+                # huge-grid route: one grid-(1,) launch per block — the
+                # multi-block grid's input double-buffering OOMs VMEM at
+                # mesh 256 (measured 137.31M vs the 128M limit)
+                serial=not phased_ok, **dict(inner_opts),
             )
             return (x3[inv].reshape(batch + grid_shape),
                     its[inv].reshape(batch))

@@ -376,30 +376,53 @@ def test_iterations_contract_cluster_split():
 
 
 def test_fused_kernels_feasible_boundary():
-    """The VMEM-feasibility model: mesh 192 on (4,4) blocks fits the fused
-    kernels at BS=1, mesh 224+ does not (40-buffer dd-round model vs the
-    100 MB budget; past the 128 MB physical VMEM Mosaic compiles hard-fail
-    — measured, ROADMAP r4 item 9)."""
-    from romhighcontrast_tpu.ops.pallas_cg_2l import fused_kernels_feasible
+    """The two-gate VMEM-feasibility model (r5): the PHASED dd-state
+    driver (40-buffer dd-round kernel vs the 100 MB budget) runs through
+    mesh 192; meshes 224-256 stay IN-KERNEL via the plain 2l kernel
+    (measured compile bracket: compiles at (1023,1023), hard-fails at
+    (1151,1151) — scripts/probe_mesh256_kernel.py); past that, XLA."""
+    from romhighcontrast_tpu.ops.pallas_cg_2l import (
+        fused_kernels_feasible, phased_driver_feasible,
+    )
 
-    assert fused_kernels_feasible((79, 79))       # paper config
-    assert fused_kernels_feasible((511, 511))     # mesh 128 (suite line)
-    assert fused_kernels_feasible((767, 767))     # mesh 192
-    assert not fused_kernels_feasible((895, 895))   # mesh 224
-    assert not fused_kernels_feasible((1023, 1023)) # mesh 256
+    assert phased_driver_feasible((79, 79))       # paper config
+    assert phased_driver_feasible((511, 511))     # mesh 128 (suite line)
+    assert phased_driver_feasible((767, 767))     # mesh 192
+    assert not phased_driver_feasible((895, 895))   # mesh 224
+    assert not phased_driver_feasible((1023, 1023)) # mesh 256
+    assert fused_kernels_feasible((895, 895))     # mesh 224: plain kernel
+    assert fused_kernels_feasible((1023, 1023))   # mesh 256 (dim 1.05M)
+    assert not fused_kernels_feasible((1151, 1151))  # mesh 288: XLA
 
 
 def test_vmem_infeasible_grid_downgrades_to_xla(problem, monkeypatch):
-    """When the grid cannot fit the fused kernels at any block size, the
+    """When the grid cannot fit even the plain 2l kernel at BS=1, the
     pallas method must serve the solve through the XLA inner (with a
     grid-scaled iteration budget) instead of dying in the Mosaic compile.
-    Force the downgrade on a small grid by shrinking the modeled budget."""
+    Force the downgrade on a small grid by shrinking the modeled limits."""
+    from romhighcontrast_tpu.ops import pallas_cg
+
+    space, a, refs = problem
+    monkeypatch.setattr(pallas_cg, "VMEM_BUDGET_BYTES", 1)
+    monkeypatch.setattr(pallas_cg, "VMEM_LIMIT_BYTES", 1)
+    x, info = space.solve(a, method="pallas", tol=1e-10, return_info=True)
+    assert float(np.max(np.asarray(info.relative_residual))) < 1e-9
+    for xi, ref in zip(np.asarray(x), refs):
+        np.testing.assert_allclose(xi, ref, rtol=1e-7, atol=1e-11)
+
+
+def test_plain_kernel_route_between_gates(problem, monkeypatch):
+    """Grids where the plain kernel fits but the phased driver does not
+    (the mesh 224-256 band) serve through the GENERIC refinement loop with
+    the 2l inner — residual-gated, oracle-accurate.  Force the band on a
+    small grid by shrinking only the phased budget."""
     from romhighcontrast_tpu.ops import pallas_cg
 
     space, a, refs = problem
     monkeypatch.setattr(pallas_cg, "VMEM_BUDGET_BYTES", 1)
     x, info = space.solve(a, method="pallas", tol=1e-10, return_info=True)
     assert float(np.max(np.asarray(info.relative_residual))) < 1e-9
+    assert int(np.min(np.asarray(info.iterations))) > 0
     for xi, ref in zip(np.asarray(x), refs):
         np.testing.assert_allclose(xi, ref, rtol=1e-7, atol=1e-11)
 
