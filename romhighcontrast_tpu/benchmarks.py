@@ -357,6 +357,21 @@ def main(argv=None):
                                    metric="snapshot_solves_per_sec_mesh128",
                                    with_baseline=False),
             "snapshot mesh 128")
+        # dim 588,289: the largest grid the PHASED dd-state driver serves
+        _with_retry(
+            lambda: bench_snapshot(192, min(n_samples, 16), tol, method,
+                                   reps=3,
+                                   metric="snapshot_solves_per_sec_mesh192",
+                                   with_baseline=False),
+            "snapshot mesh 192")
+        # dim 1,046,529: million-DoF, in-kernel via the plain-2l route
+        # (generic refinement loop; serial grid-(1,) launches — r5)
+        _with_retry(
+            lambda: bench_snapshot(256, min(n_samples, 8), tol, method,
+                                   reps=3,
+                                   metric="snapshot_solves_per_sec_mesh256",
+                                   with_baseline=False),
+            "snapshot mesh 256")
         _with_retry(bench_greedy, "greedy RB build")
         _with_retry(bench_online, "online ROM")
         _with_retry(bench_cluster, "cluster path")

@@ -251,7 +251,12 @@ class FemSpace:
         * ``"pallas"`` — same, with the fused multi-sample VMEM-resident
           Pallas inner CG with the two-level (Chebyshev + warped-coarse)
           preconditioner (fastest on TPU; interpret mode on CPU); blocks of
-          samples are difficulty-sorted between refinement rounds.
+          samples are difficulty-sorted between refinement rounds.  Scale
+          routing is automatic (r5): the phased dd-state driver serves up
+          to ~(895, 895) vertices (mesh 192 on (4,4) blocks, dim 588k);
+          up to (1023, 1023) (dim 1.05M) the solve stays IN-KERNEL
+          through the generic refinement loop with serial grid-(1,)
+          kernel launches; past that it falls back to the XLA inner.
         * ``"pallas_v2"`` — the single-level deg-12 Chebyshev fused kernel.
         * ``"pallas_v1"`` — the legacy one-sample-per-grid-step fused kernel.
         * ``"pcg"`` — pure-f64 Jacobi PCG (alias ``"lsqsparse"``).
