@@ -46,14 +46,21 @@ def setup(enable_x64: bool | None = None) -> None:
         jax.config.update("jax_enable_x64", True)
     # Persistent compilation cache: TPU compiles (especially emulated-f64
     # while_loops) are expensive; cache them across processes/runs.
+    # ``ROMHC_JAX_CACHE=`` (empty) disables it — the XLA:CPU executable
+    # (de)serialization in this jax build is unreliable (observed
+    # SIGSEGVs in put/get_executable_and_time during long CPU suites, and
+    # SIGILL-class loads of entries AOT-compiled on hosts with different
+    # CPU features); the test suite disables it via conftest.
     cache_dir = os.environ.get(
         "ROMHC_JAX_CACHE", str(Path.home() / ".cache" / "romhc_jax")
     )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # older jax without these flags
-        pass
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # older jax without these flags
+            pass
     _setup_done = True
 
 
