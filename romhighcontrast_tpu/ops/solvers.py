@@ -977,21 +977,19 @@ def _mixed_2l_phased(w, b, grid_shape, tol, inner_tol,
     # safety loop: runs only if > K samples (or, without a phase B, any)
     # are still unconverged-and-improving; single-level inner so batches
     # where more than K samples sit at the two-level kernel's f32 floor
-    # still reach the asked tolerance.  Gated on grid size (r5): the
-    # deg-12 single-level kernel's Chebyshev window narrows as ~1/n^2, so
-    # past n ~ 640 it cannot out-contract the two-level floor — measured
-    # at mesh 192 (suite population, ask 1e-10 vs 1e-11): phase C burned
-    # the mv mean up to 3,809 while the worst corner samples stayed at
-    # 1.87e-9 either way (the huge-mesh delivery floor, ROADMAP r5
-    # item 7).  Mesh 128 (n=511) still benefits and keeps it.
-    if max(nr, nc) <= 640:
-        bodyC = make_body(True, wt_s, prepdd0, dims0, t2s, blocked=True)
-        state = (xh, xl, rt, rr, rounds, iters, key,
-                 jnp.full((B,), jnp.inf, f32))
-        state = lax.while_loop(round_cond(t2s, rounds + max_rounds), bodyC,
-                               state)
-        xh, xl, rr = state[0], state[1], state[3]
-        iters = state[5]
+    # still reach the asked tolerance.  At the phased driver's largest
+    # grids (mesh 192, n=767) this phase is expensive (its 1/n^2-narrow
+    # Chebyshev window drives the suite-population mv mean to ~3,809) but
+    # MEASURED NECESSARY: disabling it moved the corner-sample delivery
+    # floor from 1.87e-9 to 1.37e-8 (2026-08-20 suite captures) — the
+    # slow single-level digs are what grind out the last decade there.
+    bodyC = make_body(True, wt_s, prepdd0, dims0, t2s, blocked=True)
+    state = (xh, xl, rt, rr, rounds, iters, key,
+             jnp.full((B,), jnp.inf, f32))
+    state = lax.while_loop(round_cond(t2s, rounds + max_rounds), bodyC,
+                           state)
+    xh, xl, rr = state[0], state[1], state[3]
+    iters = state[5]
 
     # the ONLY f64 arithmetic of the whole solve: x = s * (hi + lo)
     if fused:
