@@ -397,6 +397,14 @@ def main(argv=None):
                                    metric="snapshot_solves_per_sec_mesh256",
                                    with_baseline=False),
             "snapshot mesh 256")
+        # dim 1,324,801: PAST the fused kernels' VMEM reach — served by
+        # the pure-XLA two-level inner (r5; 15x the plain-CG fallback)
+        _with_retry(
+            lambda: bench_snapshot(288, min(n_samples, 8), min(tol, 1e-11),
+                                   method, reps=3, gate=1e-8,
+                                   metric="snapshot_solves_per_sec_mesh288",
+                                   with_baseline=False),
+            "snapshot mesh 288")
         _with_retry(bench_greedy, "greedy RB build")
         _with_retry(bench_online, "online ROM")
         _with_retry(bench_cluster, "cluster path")

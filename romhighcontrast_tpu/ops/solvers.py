@@ -412,6 +412,120 @@ def _cg_unit_diag(wt, b, tol, maxiter, stag_window=1_000_000):
     return out[0], out[8]
 
 
+def _cheb_apply(apply_op, deg, lo, hi):
+    """Chebyshev polynomial application closure (same recurrence as the
+    Pallas kernels' _make_cheb, XLA arrays)."""
+    f32 = jnp.float32
+    theta = f32((hi + lo) / 2.0)
+    delta = f32((hi - lo) / 2.0)
+    sigma = float((hi + lo) / (hi - lo))
+
+    def cheb(r):
+        rho = f32(1.0 / sigma)
+        d = r / theta
+        z = d
+        for _ in range(deg - 1):
+            rho_new = f32(1.0) / (f32(2.0 * sigma) - rho)
+            d = (rho_new * rho) * d + (f32(2.0) * rho_new / delta) * (
+                r - apply_op(z)
+            )
+            z = z + d
+            rho = rho_new
+        return z
+
+    return cheb
+
+
+def _cg_2l_xla(wt, dh, coarse, hr, hc, b, rtol2, maxiter,
+               deg=3, lmin=0.116, lmax=2.0, dc=8, clmin=0.03, clmax=2.05):
+    """Two-level (Chebyshev + warped-coarse) preconditioned CG in pure
+    XLA — the same algorithm as the fused Pallas kernel
+    (ops/pallas_cg_2l._pcg_2l_kernel), for grids past the kernels' VMEM
+    reach (> (1023, 1023) vertices; r5).  Replaces the plain Jacobi-CG
+    fallback whose iteration counts grow ~linearly with the grid side.
+
+    wt: unit-diagonal symmetrized stencil weights (B, nr, nc), f32.
+    dh: sqrt(diag K) (B, nr, nc) — the warp.
+    coarse: twolevel.CoarseOperator (normalized 9-point bands + sg).
+    hr/hc: (m1r, nr) / (m1c, nc) bilinear hat matrices.
+    rtol2: (B,) per-sample squared relative tolerance.
+    Returns (x, its) with per-sample matvec-equivalents (deg + 1 per
+    active iteration — the kernel convention)."""
+    f32 = jnp.float32
+    bands, sg = coarse.bands, coarse.sg
+
+    def cmatvec(y):
+        # 9-point normalized coarse stencil; rolls wrap, but edge bands
+        # are zero by construction (normalize_bands zero-fills the
+        # shifted sg), annihilating the wrap — same induction as the
+        # fine stencil
+        out = y
+        for dp in (-1, 0, 1):
+            for dq in (-1, 0, 1):
+                if dp == 0 and dq == 0:
+                    continue
+                t = jnp.roll(y, (-dp, -dq), axis=(-2, -1))
+                out = out + bands[..., dp + 1, dq + 1, :, :] * t
+        return out
+
+    fine_cheb = _cheb_apply(lambda u: st.apply_operator(wt, u), deg,
+                            lmin, lmax)
+    coarse_cheb = _cheb_apply(cmatvec, dc, clmin, clmax)
+
+    def precond(r):
+        t = dh * r
+        c = jnp.einsum("pi,bij,qj->bpq", hr, t, hc)
+        y = sg * coarse_cheb(sg * c)
+        zc = dh * jnp.einsum("pi,bpq,qj->bij", hr, y, hc)
+        return fine_cheb(r) + zc
+
+    bb = jnp.sum(b * b, axis=(-2, -1))
+    safe_b = jnp.where(bb == 0, 1.0, bb)
+    tol2 = rtol2.astype(f32) * safe_b
+    div2 = f32(1e12) * safe_b
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z, axis=(-2, -1))
+    rr = bb
+    its = jnp.zeros(bb.shape, jnp.int32)
+
+    def active_mask(rr):
+        return jnp.logical_and(rr > tol2, rr < div2)
+
+    def cond(state):
+        rr, it = state[4], state[5]
+        return jnp.logical_and(jnp.any(active_mask(rr)), it < maxiter)
+
+    def body(state):
+        x, r, p, rz, rr, it, its = state
+        amask = active_mask(rr)
+        active = amask[..., None, None]
+        Kp = st.apply_operator(wt, p)
+        pKp = jnp.sum(p * Kp, axis=(-2, -1))
+        alpha = jnp.where(amask & (pKp > 0),
+                          rz / jnp.where(pKp > 0, pKp, 1.0), 0.0)
+        alpha_ = alpha[..., None, None]
+        x = jnp.where(active, x + alpha_ * p, x)
+        r = jnp.where(active, r - alpha_ * Kp, r)
+        z = precond(r)
+        rz_new = jnp.sum(r * z, axis=(-2, -1))
+        rr_new = jnp.sum(r * r, axis=(-2, -1))
+        rr_new = jnp.where(jnp.isfinite(rr_new), rr_new, f32(2.0) * div2)
+        beta = jnp.where(amask & (rz != 0),
+                         rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = jnp.where(active, z + beta[..., None, None] * p, p)
+        rr = jnp.where(amask, rr_new, rr)
+        rz = jnp.where(amask, rz_new, rz)
+        its = its + (deg + 1) * amask.astype(jnp.int32)
+        return x, r, p, rz, rr, it + 1, its
+
+    out = lax.while_loop(cond, body, (x, r, p, rz, rr, jnp.int32(0), its))
+    return out[0], out[6]
+
+
 def _round_rtol2(rounds, tol2, rr, inner_tol, dtype):
     """Adaptive per-round inner tolerance (squared), shared by the phased
     and generic refinement loops: ask each sample for the digits it still
@@ -1072,10 +1186,10 @@ def solve_pcg_mixed(
     removes precisely the components the f32 inner CG amplifies by
     1/lambda.
     """
-    if inner not in ("pallas_2l", "pallas_v2", "pallas", "xla"):
+    if inner not in ("pallas_2l", "pallas_v2", "pallas", "xla", "xla_2l"):
         raise ValueError(
             f"Unknown inner solver {inner!r}; expected one of "
-            "['pallas_2l', 'pallas_v2', 'pallas', 'xla']"
+            "['pallas_2l', 'pallas_v2', 'pallas', 'xla', 'xla_2l']"
         )
     if w is None and a_blocks is None:
         raise ValueError("solve_pcg_mixed needs stencil weights w or "
@@ -1083,10 +1197,13 @@ def solve_pcg_mixed(
     grid_shape = (rhs.shape[-2:] if w is None else w.diag.shape[-2:])
     interpret = jax.default_backend() == "cpu"
 
-    if inner == "pallas_2l" and min(grid_shape) < 5:
+    if min(grid_shape) < 5:
         # no room for a coarse grid; the single-level kernel is optimal at
         # these sizes anyway
-        inner = "pallas_v2"
+        if inner == "pallas_2l":
+            inner = "pallas_v2"
+        elif inner == "xla_2l":
+            inner = "xla"
     phased_ok = True
     if inner.startswith("pallas"):
         from romhighcontrast_tpu.ops.pallas_cg_2l import (
@@ -1097,14 +1214,11 @@ def solve_pcg_mixed(
         if not fused_kernels_feasible(grid_shape):
             # past ~(1023, 1023) vertices even the plain 2l kernel's BS=1
             # block set exceeds physical VMEM and the Mosaic compile
-            # hard-fails; serve the solve through the portable XLA inner
-            # instead.  Jacobi-CG iteration counts grow ~linearly with the
-            # grid side (contrast-robust, ~423 at n=79), so scale the inner
-            # budget with the grid rather than letting the 900 default
-            # truncate every round.
-            inner = "xla"
-            maxiter_inner = max(maxiter_inner,
-                                8 * (max(grid_shape) + 1))
+            # hard-fails; serve the solve through the pure-XLA TWO-LEVEL
+            # inner (r5: same Chebyshev + warped-coarse algorithm, XLA
+            # arrays — outer-iteration counts stay mesh-independent-ish
+            # instead of the plain Jacobi-CG fallback's ~8(n+1))
+            inner = "xla_2l"
         else:
             # the dd-round kernel (the phased driver's per-round pass) has
             # a ~40-buffer live set vs the plain kernel's ~30: between
@@ -1120,7 +1234,7 @@ def solve_pcg_mixed(
         # most samples (measured: +3 outer iterations vs 1e-5) and lets
         # tol=1e-10 finish in two rounds.  The single-level kernels use a
         # fixed 1e-4 (they floor too often below that).
-        inner_tol = 3e-6 if inner == "pallas_2l" else 1e-4
+        inner_tol = 3e-6 if inner in ("pallas_2l", "xla_2l") else 1e-4
 
     if (inner == "pallas_2l" and inner_dtype == jnp.float32 and phased_ok
             and not (cluster_labels is not None and n_clusters > 0)):
@@ -1235,6 +1349,44 @@ def solve_pcg_mixed(
             )
             return (x3[inv].reshape(batch + grid_shape),
                     its[inv].reshape(batch))
+
+    elif inner == "xla_2l":
+        from romhighcontrast_tpu.ops import twolevel as tl
+        from romhighcontrast_tpu.ops.pallas_cg_2l import default_fine_window
+
+        strides = (tl.coarse_stride(grid_shape[0]),
+                   tl.coarse_stride(grid_shape[1]))
+        f32_ = jnp.float32
+        wt3 = st.StencilCoefficients(
+            *(jnp.broadcast_to(v, batch + grid_shape)
+              .reshape((-1,) + grid_shape).astype(f32_) for v in wt)
+        )
+        w3u = st.StencilCoefficients(
+            *(jnp.broadcast_to(v, batch + grid_shape)
+              .reshape((-1,) + grid_shape).astype(f32_) for v in w)
+        )
+        coarse3 = tl.assemble_coarse(w3u, *strides)
+        dh3 = jnp.sqrt(
+            jnp.broadcast_to(diag, batch + grid_shape)
+        ).reshape((-1,) + grid_shape).astype(f32_)
+        hr3 = jnp.asarray(tl.hat_matrix(grid_shape[0], strides[0]), f32_)
+        hc3 = jnp.asarray(tl.hat_matrix(grid_shape[1], strides[1]), f32_)
+        _o = dict(inner_opts)
+        lmin3 = float(_o.get("lmin",
+                             default_fine_window(grid_shape, strides)[0]))
+
+        def inner_solve(rt, sort_key, rtol2):
+            rt3 = rt.reshape((-1,) + grid_shape).astype(f32_)
+            x3, its = _cg_2l_xla(
+                wt3, dh3, coarse3, hr3, hc3, rt3,
+                jnp.broadcast_to(rtol2, batch).reshape(-1),
+                maxiter=min(maxiter_inner, 64),
+                deg=int(_o.get("deg", 3)), lmin=lmin3,
+                lmax=float(_o.get("lmax", 2.0)), dc=int(_o.get("dc", 8)),
+                clmin=float(_o.get("clmin", 0.03)),
+                clmax=float(_o.get("clmax", 2.05)),
+            )
+            return x3.reshape(batch + grid_shape), its.reshape(batch)
 
     elif inner == "pallas_v2":
         from romhighcontrast_tpu.ops.pallas_cg_v2 import cg_symmetrized_pallas_v2

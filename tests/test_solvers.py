@@ -451,6 +451,33 @@ def test_phase_b_cascade_matches_default():
                                rtol=1e-5, atol=1e-10)
 
 
+def test_xla_2l_inner_matches_plain_xla():
+    """The pure-XLA two-level inner (r5: serves grids past the fused
+    kernels' VMEM reach, > (1023,1023) vertices) delivers the same
+    refinement result as the plain-CG inner with ~2.5x fewer
+    matvec-equivalents even at small meshes (the gap grows ~n)."""
+    from romhighcontrast_tpu.ops import stencil as st
+
+    space = FemSpace((4, 4), 10)
+    c = 1 / np.linspace(1 / INFINIT_A, 1, 12, endpoint=False)
+    a = np.ones((12, 4, 4))
+    a[:, 0, 1] = c
+    a[:, 1, 3] = c[::-1]
+    w = space.weights(jnp.asarray(a))
+    rhs = jnp.broadcast_to(space.load.reshape(space.grid_shape),
+                           (12,) + space.grid_shape)
+    x2, i2 = solvers.solve_pcg_mixed(w, rhs, tol=1e-10, inner="xla_2l")
+    r = rhs - st.apply_operator(w, x2)
+    rel = jnp.linalg.norm(r.reshape(12, -1), axis=-1) / jnp.linalg.norm(
+        space.load)
+    assert float(jnp.max(rel)) < 1e-9
+    xp, ip = solvers.solve_pcg_mixed(w, rhs, tol=1e-10, inner="xla")
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(xp), rtol=1e-6,
+                               atol=1e-11)
+    assert float(jnp.mean(i2.iterations)) < 0.6 * float(
+        jnp.mean(ip.iterations))
+
+
 def test_canonical_batch_ladder_hbm_capped():
     """The padding ladder preserves its historical choices at study sizes
     and stops padding where batch x dim would strain HBM (the B=64 pad at
